@@ -1,0 +1,611 @@
+"""Compressed sparse matrix (CSR/CSC) as a capacity-padded JAX pytree.
+
+This is the TPU-native re-design of the reference's central ``CsMatBase``
+type (/root/reference/sprs/src/sparse.rs:94-129 and sparse/csmat.rs).  Key
+departures from the Rust design, driven by XLA's static-shape compilation
+model:
+
+* **Static capacity, dynamic nnz**: ``indices``/``data`` have a fixed
+  capacity ``cap``; live entries occupy the first ``nnz = indptr[-1]``
+  slots, padding is ``indices == 0, data == 0``.  All kernels are written
+  so that padding contributes nothing (segment ids out of range, values
+  zero), letting one compiled program serve any nnz up to ``cap``.
+* **Functional**: no in-place mutation; ``map``/``scale`` return new
+  matrices.  The reference's view/mut-view hierarchy collapses — JAX
+  arrays are immutable and cheaply shared.
+* **Transpose is metadata** (csmat.rs:966-991): flipping the storage flag
+  transposes in O(1); one kernel family serves CSR and CSC through
+  transpose identities.
+* **Validation is host-side** (the analog of check_compressed_structure,
+  sparse.rs:300-358): eager constructors validate by default; traced code
+  skips validation (it cannot raise) and relies on constructors having
+  established the invariants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ShapeError, StructureError
+from .util import (
+    INDEX_DTYPE,
+    compress_coo,
+    is_concrete,
+    row_ids_from_indptr,
+    valid_mask,
+)
+
+CSR = "csr"
+CSC = "csc"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CsMat:
+    """A CSR or CSC matrix.
+
+    Leaves: ``indptr (n_outer+1,) i32``, ``indices (cap,) i32``,
+    ``data (cap,) dtype``.  Static: ``shape``, ``storage``.
+    """
+
+    indptr: jax.Array
+    indices: jax.Array
+    data: jax.Array
+    shape: Tuple[int, int]
+    storage: str
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (self.shape, self.storage)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, storage = aux
+        indptr, indices, data = leaves
+        return cls(indptr, indices, data, shape, storage)
+
+    # -- basic properties ------------------------------------------------
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def is_csr(self) -> bool:
+        return self.storage == CSR
+
+    @property
+    def is_csc(self) -> bool:
+        return self.storage == CSC
+
+    @property
+    def outer_dims(self) -> int:
+        return self.shape[0] if self.is_csr else self.shape[1]
+
+    @property
+    def inner_dims(self) -> int:
+        return self.shape[1] if self.is_csr else self.shape[0]
+
+    @property
+    def cap(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def nnz(self):
+        """Live entry count: a Python int when concrete, traced scalar under jit."""
+        n = self.indptr[-1]
+        if is_concrete(n):
+            return int(n)
+        return n
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def density(self) -> float:
+        r, c = self.shape
+        if r == 0 or c == 0:
+            return 0.0
+        return float(self.nnz) / (r * c)
+
+    # -- structural helpers ----------------------------------------------
+    def outer_ids(self) -> jax.Array:
+        """Per-entry outer index (row id for CSR); padding maps out of range."""
+        return row_ids_from_indptr(self.indptr, self.cap)
+
+    def live_mask(self) -> jax.Array:
+        return valid_mask(self.cap, self.indptr[-1])
+
+    def coo_arrays(self):
+        """(row_ids, col_ids, data) in matrix orientation (not storage)."""
+        outer = self.outer_ids()
+        # Clamp padding's outer id into range for use as plain data; callers
+        # combine with live_mask when the sentinel matters.
+        if self.is_csr:
+            return outer, self.indices, self.data
+        return self.indices, outer, self.data
+
+    # -- transpose / storage conversion ----------------------------------
+    @property
+    def T(self) -> "CsMat":
+        """O(1) transpose by flipping the storage flag (csmat.rs:966-991)."""
+        return CsMat(
+            self.indptr,
+            self.indices,
+            self.data,
+            (self.shape[1], self.shape[0]),
+            CSC if self.is_csr else CSR,
+        )
+
+    transpose_view = T
+
+    def to_other_storage(self) -> "CsMat":
+        """Re-sort entries into the opposite storage order.
+
+        The reference uses a two-pass counting sort (csmat.rs:1782-1829);
+        on TPU a multi-key ``lax.sort`` + segment compaction is the
+        bandwidth-friendly equivalent.
+        """
+        outer = self.outer_ids()
+        res = compress_coo(
+            rows=self.indices,
+            cols=outer,
+            value_channels=(self.data,),
+            nvalid=self.indptr[-1],
+            n_outer=self.inner_dims,
+            n_inner=self.outer_dims,
+            out_cap=self.cap,
+        )
+        return CsMat(
+            res.indptr,
+            res.indices,
+            res.values[0],
+            self.shape,
+            CSC if self.is_csr else CSR,
+        )
+
+    def to_csr(self) -> "CsMat":
+        return self if self.is_csr else self.to_other_storage()
+
+    def to_csc(self) -> "CsMat":
+        return self if self.is_csc else self.to_other_storage()
+
+    # -- densification ----------------------------------------------------
+    def to_dense(self) -> jax.Array:
+        out = jnp.zeros(
+            (self.outer_dims, self.inner_dims), dtype=self.data.dtype
+        )
+        out = out.at[self.outer_ids(), self.indices].add(
+            self.data, mode="drop"
+        )
+        return out if self.is_csr else out.T
+
+    def to_scipy(self):
+        """Host-side scipy.sparse twin (for tests/interop)."""
+        import scipy.sparse as sp
+
+        nnz = int(self.nnz)
+        indptr = np.asarray(self.indptr)
+        indices = np.asarray(self.indices)[:nnz]
+        data = np.asarray(self.data)[:nnz]
+        klass = sp.csr_matrix if self.is_csr else sp.csc_matrix
+        return klass((data, indices, indptr), shape=self.shape)
+
+    # -- elementwise ------------------------------------------------------
+    def map(self, fn) -> "CsMat":
+        """Apply fn to every live entry (padding stays zero).
+
+        Note: like the reference's ``map`` (csmat.rs:1289-1303) this only
+        touches stored entries; fn(0) != 0 does not densify.
+        """
+        new = fn(self.data)
+        new = jnp.where(self.live_mask(), new, jnp.zeros((), new.dtype))
+        return self.with_data(new)
+
+    def with_data(self, data: jax.Array) -> "CsMat":
+        if data.shape != self.data.shape:
+            raise ShapeError(
+                f"data must keep capacity {self.data.shape}, got {data.shape}"
+            )
+        return CsMat(self.indptr, self.indices, data, self.shape, self.storage)
+
+    def astype(self, dtype) -> "CsMat":
+        return self.with_data(self.data.astype(dtype))
+
+    def scale(self, alpha) -> "CsMat":
+        return self.map(lambda d: d * alpha)
+
+    def __neg__(self) -> "CsMat":
+        return self.map(jnp.negative)
+
+    # -- queries -----------------------------------------------------------
+    def degrees(self) -> jax.Array:
+        """Per-outer-dim entry count excluding the diagonal (csmat.rs:1205-1216)."""
+        outer = self.outer_ids()
+        off_diag = (outer != self.indices) & self.live_mask()
+        counts = jnp.zeros((self.outer_dims,), dtype=INDEX_DTYPE)
+        return counts.at[outer].add(off_diag.astype(INDEX_DTYPE), mode="drop")
+
+    def outer_nnz(self) -> jax.Array:
+        return self.indptr[1:] - self.indptr[:-1]
+
+    def max_outer_nnz(self):
+        m = jnp.max(self.outer_nnz()) if self.outer_dims > 0 else jnp.zeros((), INDEX_DTYPE)
+        return int(m) if is_concrete(m) else m
+
+    def diag(self) -> jax.Array:
+        """Dense main diagonal of length min(rows, cols)."""
+        k = min(self.shape)
+        outer = self.outer_ids()
+        on_diag = (outer == self.indices) & self.live_mask()
+        idx = jnp.where(on_diag, outer, k)
+        out = jnp.zeros((k,), dtype=self.data.dtype)
+        return out.at[idx].add(self.data * on_diag, mode="drop")
+
+    def get(self, row: int, col: int):
+        """Value at (row, col); 0 if not stored. O(log nnz_row) search."""
+        i, j = (row, col) if self.is_csr else (col, row)
+        start, stop = self.indptr[i], self.indptr[i + 1]
+        # Masked reduction over the entry span — O(cap) but fully
+        # vectorized, which beats a scalar binary search on TPU.
+        pos = jnp.arange(self.cap)
+        hit = (pos >= start) & (pos < stop) & (self.indices == j)
+        val = jnp.sum(jnp.where(hit, self.data, jnp.zeros((), self.data.dtype)))
+        return val
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            return self.get(*key)
+        raise TypeError("CsMat supports mat[i, j] indexing only")
+
+    # -- slicing ------------------------------------------------------------
+    def slice_outer(self, start: int, stop: int) -> "CsMat":
+        """Static outer-dimension slice (slicing.rs:17-89).
+
+        Unlike the reference's zero-copy offset-indptr views, XLA needs
+        materialized arrays; we gather the slice into a fresh matrix with
+        capacity equal to the parent's (callers may repack tighter).
+        """
+        if not (0 <= start <= stop <= self.outer_dims):
+            raise ShapeError(
+                f"slice [{start}:{stop}) out of range for {self.outer_dims}"
+            )
+        n_out = stop - start
+        lo, hi = self.indptr[start], self.indptr[stop]
+        new_nnz = hi - lo
+        pos = jnp.arange(self.cap, dtype=INDEX_DTYPE)
+        src = jnp.minimum(lo + pos, self.cap - 1)
+        live = pos < new_nnz
+        new_indices = jnp.where(live, self.indices[src], 0)
+        new_data = jnp.where(
+            live, self.data[src], jnp.zeros((), self.data.dtype)
+        )
+        new_indptr = (
+            jax.lax.dynamic_slice(self.indptr, (start,), (n_out + 1,)) - lo
+        )
+        shape = (
+            (n_out, self.shape[1]) if self.is_csr else (self.shape[0], n_out)
+        )
+        return CsMat(new_indptr, new_indices, new_data, shape, self.storage)
+
+    # -- capacity management -------------------------------------------------
+    def with_cap(self, new_cap: int) -> "CsMat":
+        """Re-pad to a new capacity. Shrinking below nnz is a host error."""
+        if new_cap == self.cap:
+            return self
+        if is_concrete(self.indptr):
+            if new_cap < int(self.nnz):
+                raise StructureError.size_mismatch(
+                    f"cannot shrink cap below nnz={self.nnz}"
+                )
+        if new_cap > self.cap:
+            pad = new_cap - self.cap
+            indices = jnp.pad(self.indices, (0, pad))
+            data = jnp.pad(self.data, (0, pad))
+        else:
+            indices = self.indices[:new_cap]
+            data = self.data[:new_cap]
+        return CsMat(self.indptr, indices, data, self.shape, self.storage)
+
+    def compact(self, out_cap: Optional[int] = None) -> "CsMat":
+        """Drop stored zeros (and tighten capacity on concrete inputs)."""
+        keep = self.live_mask() & (self.data != 0)
+        outer = jnp.where(keep, self.outer_ids(), self.outer_dims)
+        order = jnp.argsort(~keep, stable=True)  # keepers first, order kept
+        if out_cap is None:
+            if is_concrete(self.data):
+                out_cap = max(int(jnp.sum(keep)), 1)
+            else:
+                out_cap = self.cap
+        take = jnp.minimum(
+            jnp.arange(out_cap, dtype=INDEX_DTYPE), self.cap - 1
+        )
+        perm = order[take]
+        new_nnz = jnp.sum(keep.astype(INDEX_DTYPE))
+        live = jnp.arange(out_cap, dtype=INDEX_DTYPE) < new_nnz
+        new_indices = jnp.where(live, self.indices[perm], 0)
+        new_data = jnp.where(
+            live, self.data[perm], jnp.zeros((), self.data.dtype)
+        )
+        counts = jnp.zeros((self.outer_dims,), dtype=INDEX_DTYPE)
+        counts = counts.at[outer].add(
+            keep.astype(INDEX_DTYPE), mode="drop"
+        )
+        indptr = jnp.concatenate(
+            [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+        )
+        return CsMat(indptr, new_indices, new_data, self.shape, self.storage)
+
+    # -- validation -----------------------------------------------------------
+    def check_structure(self) -> "CsMat":
+        """Host-side invariant check (sparse.rs:300-358 equivalent).
+
+        Raises StructureError on violation; returns self for chaining.
+        Only callable on concrete (non-traced) matrices.
+        """
+        if not is_concrete(self.indptr, self.indices, self.data):
+            return self  # cannot validate traced values
+        indptr = np.asarray(self.indptr)
+        indices = np.asarray(self.indices)
+        data = np.asarray(self.data)
+        n_outer, n_inner = self.outer_dims, self.inner_dims
+        if indptr.shape != (n_outer + 1,):
+            raise StructureError.size_mismatch(
+                f"indptr length {indptr.shape[0]} != outer_dims+1 {n_outer + 1}"
+            )
+        if indices.shape != data.shape:
+            raise StructureError.size_mismatch(
+                "indices and data capacity differ"
+            )
+        if indptr[0] != 0:
+            raise StructureError.out_of_range("indptr[0] must be 0")
+        if np.any(np.diff(indptr) < 0):
+            raise StructureError.unsorted("indptr must be monotone")
+        nnz = int(indptr[-1])
+        if nnz > self.cap:
+            raise StructureError.size_mismatch(
+                f"nnz {nnz} exceeds capacity {self.cap}"
+            )
+        live_idx = indices[:nnz]
+        if nnz and (live_idx.min() < 0 or live_idx.max() >= max(n_inner, 1)):
+            raise StructureError.out_of_range(
+                "inner index out of range"
+            )
+        for o in range(n_outer):
+            row = live_idx[indptr[o] : indptr[o + 1]]
+            if row.size > 1 and np.any(np.diff(row) <= 0):
+                raise StructureError.unsorted(
+                    f"indices in outer dim {o} not strictly increasing"
+                )
+        return self
+
+    # -- operators (wired to ops lazily to avoid circular imports) -------------
+    def __matmul__(self, other):
+        from .. import ops
+
+        return ops.matmul(self, other)
+
+    def __rmatmul__(self, other):
+        from .. import ops
+
+        return ops.rmatmul(other, self)
+
+    def __add__(self, other):
+        from .. import ops
+
+        return ops.add(self, other)
+
+    def __radd__(self, other):
+        from .. import ops
+
+        return ops.add(self, other)
+
+    def __sub__(self, other):
+        from .. import ops
+
+        return ops.sub(self, other)
+
+    def __rsub__(self, other):
+        from .. import ops
+
+        return ops.sub(other, self)
+
+    def __mul__(self, other):
+        from .. import ops
+
+        return ops.elementwise_mul(self, other)
+
+    def __rmul__(self, other):
+        from .. import ops
+
+        return ops.elementwise_mul(self, other)
+
+    def __truediv__(self, other):
+        if isinstance(other, CsMat):
+            raise TypeError("sparse / sparse is not defined (densifies)")
+        return self.map(lambda d: d / other)
+
+    def __repr__(self):
+        nnz = self.nnz
+        nnz_s = str(nnz) if isinstance(nnz, int) else "<traced>"
+        return (
+            f"CsMat(shape={self.shape}, storage={self.storage}, "
+            f"nnz={nnz_s}, cap={self.cap}, dtype={self.data.dtype})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+
+def _pad_to_cap(arr, cap, dtype):
+    arr = jnp.asarray(arr, dtype=dtype)
+    n = arr.shape[0]
+    if n > cap:
+        raise StructureError.size_mismatch(f"nnz {n} exceeds cap {cap}")
+    return jnp.pad(arr, (0, cap - n))
+
+
+def csmat(
+    shape: Tuple[int, int],
+    indptr,
+    indices,
+    data,
+    *,
+    storage: str = CSR,
+    cap: Optional[int] = None,
+    validate: bool = True,
+) -> CsMat:
+    """Build a CsMat from raw compressed arrays (csmat.rs:207-216 analog).
+
+    Arrays may be shorter than ``cap``; they are zero-padded.  With
+    ``validate=True`` (default, host-only) the structural invariants are
+    checked eagerly like the reference's checked constructors.
+    """
+    indices = jnp.asarray(indices, dtype=INDEX_DTYPE)
+    data = jnp.asarray(data)
+    if data.dtype == jnp.int64 or data.dtype == jnp.float64:
+        # keep as provided; caller controls x64 mode
+        pass
+    if cap is None:
+        cap = max(int(indices.shape[0]), 1)
+    indptr = jnp.asarray(indptr, dtype=INDEX_DTYPE)
+    m = CsMat(
+        indptr,
+        _pad_to_cap(indices, cap, INDEX_DTYPE),
+        _pad_to_cap(data, cap, data.dtype),
+        tuple(shape),
+        storage,
+    )
+    if validate:
+        m.check_structure()
+    return m
+
+
+def csr(shape, indptr, indices, data, **kw) -> CsMat:
+    return csmat(shape, indptr, indices, data, storage=CSR, **kw)
+
+
+def csc(shape, indptr, indices, data, **kw) -> CsMat:
+    return csmat(shape, indptr, indices, data, storage=CSC, **kw)
+
+
+def csmat_from_unsorted(
+    shape, indptr, indices, data, *, storage: str = CSR, cap=None
+) -> CsMat:
+    """Constructor accepting unsorted per-row indices (csmat.rs:355-401).
+
+    Duplicates are summed (stronger than the reference, which rejects
+    them — summing matches the triplet pathway and is the useful choice).
+    """
+    raw = csmat(
+        shape, indptr, indices, data, storage=storage, cap=cap, validate=False
+    )
+    res = compress_coo(
+        rows=raw.outer_ids(),
+        cols=raw.indices,
+        value_channels=(raw.data,),
+        nvalid=raw.indptr[-1],
+        n_outer=raw.outer_dims,
+        n_inner=raw.inner_dims,
+        out_cap=raw.cap,
+    )
+    return CsMat(res.indptr, res.indices, res.values[0], raw.shape, storage)
+
+
+def eye(n: int, dtype=jnp.float32, *, storage: str = CSR, cap=None) -> CsMat:
+    cap = cap or max(n, 1)
+    indptr = jnp.arange(n + 1, dtype=INDEX_DTYPE)
+    idx = jnp.arange(cap, dtype=INDEX_DTYPE)
+    indices = jnp.where(idx < n, idx, 0)
+    data = jnp.where(idx < n, jnp.ones((), dtype), jnp.zeros((), dtype))
+    return CsMat(indptr, indices, data, (n, n), storage)
+
+
+def empty(shape: Tuple[int, int], dtype=jnp.float32, *, storage: str = CSR, cap: int = 1) -> CsMat:
+    n_outer = shape[0] if storage == CSR else shape[1]
+    return CsMat(
+        jnp.zeros((n_outer + 1,), INDEX_DTYPE),
+        jnp.zeros((cap,), INDEX_DTYPE),
+        jnp.zeros((cap,), dtype),
+        tuple(shape),
+        storage,
+    )
+
+
+def diag_csmat(values, *, storage: str = CSR) -> CsMat:
+    """Square diagonal matrix from a dense vector."""
+    values = jnp.asarray(values)
+    n = values.shape[0]
+    m = eye(n, dtype=values.dtype, storage=storage)
+    return m.with_data(values)
+
+
+def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
+    """Densify threshold conversion (csr_from_dense, csmat.rs:502-549).
+
+    Entries with |a_ij| > eps are kept.  On concrete inputs the capacity
+    defaults to the exact nnz; traced inputs must pass ``cap``.
+    """
+    arr = jnp.asarray(arr)
+    if arr.ndim != 2:
+        raise ShapeError("from_dense expects a 2-D array")
+    r, c = arr.shape
+    a = arr if storage == CSR else arr.T
+    n_outer, n_inner = a.shape
+    keep = jnp.abs(a) > eps
+    if cap is None:
+        if is_concrete(arr):
+            cap = max(int(jnp.sum(keep)), 1)
+        else:
+            cap = max(n_outer * n_inner, 1)
+    flat_keep = keep.reshape(-1)
+    rows = (
+        jnp.arange(n_outer * n_inner, dtype=INDEX_DTYPE) // max(n_inner, 1)
+    )
+    cols = jnp.arange(n_outer * n_inner, dtype=INDEX_DTYPE) % max(n_inner, 1)
+    vals = a.reshape(-1)
+    # compress with invalid entries pushed out by sentinel rows
+    rows = jnp.where(flat_keep, rows, n_outer)
+    res = compress_coo(
+        rows=rows,
+        cols=cols,
+        value_channels=(jnp.where(flat_keep, vals, 0),),
+        nvalid=n_outer * n_inner,
+        n_outer=n_outer,
+        n_inner=n_inner,
+        out_cap=cap,
+    )
+    return CsMat(res.indptr, res.indices, res.values[0], (r, c), storage)
+
+
+def from_scipy(m, *, storage: Optional[str] = None, cap=None) -> CsMat:
+    """Convert a scipy.sparse matrix (host interop)."""
+    import scipy.sparse as sp
+
+    if storage == CSC or (storage is None and sp.issparse(m) and m.format == "csc"):
+        m = m.tocsc()
+        st = CSC
+    else:
+        m = m.tocsr()
+        st = CSR
+    m.sort_indices()
+    return csmat(
+        m.shape,
+        m.indptr.astype(np.int32),
+        m.indices.astype(np.int32),
+        m.data,
+        storage=st,
+        cap=cap,
+        validate=False,
+    )

@@ -1,0 +1,180 @@
+"""Shared structural primitives for capacity-padded sparse formats.
+
+The TPU-native representation discipline: every sparse container carries
+statically-shaped arrays of capacity ``cap >= nnz``; entries at positions
+``>= nnz`` are padding with ``indices == 0`` and ``data == 0``.  The live
+count is always derivable from traced data (``indptr[-1]`` for matrices, an
+explicit scalar for vectors/COO), so the same code path works both eagerly
+and under ``jax.jit`` with dynamic nnz.
+
+The central primitive here is :func:`compress_coo`: a multi-key
+``lax.sort`` followed by a segmented duplicate-sum.  It is the TPU
+equivalent of the reference's triplet compression
+(/root/reference/sprs/src/sparse/triplet_iter.rs:127-224 — lexicographic
+sort + linear duplicate-summing scan) and also powers CSR<->CSC conversion
+(counting sort in the reference, csmat.rs:1782-1829), sparse binary ops,
+and the numeric phase of ESC SpGEMM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INDEX_DTYPE = jnp.int32
+
+
+def positions(cap: int) -> jax.Array:
+    """[0, 1, ..., cap-1] as the index dtype."""
+    return jnp.arange(cap, dtype=INDEX_DTYPE)
+
+
+def valid_mask(cap: int, nnz) -> jax.Array:
+    """Boolean mask of live (non-padding) entry slots."""
+    return positions(cap) < nnz
+
+
+def row_ids_from_indptr(indptr: jax.Array, cap: int) -> jax.Array:
+    """Per-entry outer (row) id for a compressed matrix.
+
+    Padding positions (>= indptr[-1]) map to ``n_outer`` which is out of
+    range for every segment op with ``num_segments == n_outer`` and is
+    therefore dropped — this is what makes padding free in segment-sum
+    kernels.
+    """
+    pos = positions(cap)
+    return (
+        jnp.searchsorted(indptr, pos, side="right").astype(INDEX_DTYPE) - 1
+    )
+
+
+def indptr_from_row_counts(row_counts: jax.Array) -> jax.Array:
+    """Exclusive-scan a per-row count vector into an indptr of length n+1."""
+    z = jnp.zeros((1,), dtype=INDEX_DTYPE)
+    return jnp.concatenate([z, jnp.cumsum(row_counts, dtype=INDEX_DTYPE)])
+
+
+def indptr_from_rows(rows: jax.Array, unique_valid: jax.Array, n_outer: int) -> jax.Array:
+    """Build indptr by histogramming row ids of live unique entries.
+
+    ``rows`` may contain the sentinel ``n_outer`` for padding; those are
+    dropped by the scatter.
+    """
+    counts = jnp.zeros((n_outer,), dtype=INDEX_DTYPE)
+    counts = counts.at[rows].add(
+        unique_valid.astype(INDEX_DTYPE), mode="drop"
+    )
+    return indptr_from_row_counts(counts)
+
+
+class CompressedCoo(NamedTuple):
+    """Result of :func:`compress_coo`.
+
+    ``required_nnz`` is the number of unique live entries the input
+    contained; if it exceeds ``out_cap`` the output silently dropped the
+    tail and the caller should re-run with a larger capacity (host paths
+    raise :class:`~sprs_tpu.errors.CapacityError` instead).
+    """
+
+    indptr: jax.Array
+    indices: jax.Array
+    values: Tuple[jax.Array, ...]
+    nnz: jax.Array
+    required_nnz: jax.Array
+
+
+def compress_coo(
+    rows: jax.Array,
+    cols: jax.Array,
+    value_channels: Sequence[jax.Array],
+    nvalid,
+    n_outer: int,
+    n_inner: int,
+    out_cap: int,
+) -> CompressedCoo:
+    """Sort-and-deduplicate COO entries into CSR-ordered arrays.
+
+    Entries at positions >= ``nvalid`` are padding and ignored.  Duplicate
+    (row, col) pairs are **summed** per value channel (matching the
+    reference triplet semantics, triplet_iter.rs:166-184).  Output entries
+    are sorted by (row, col): each row's column indices come out sorted,
+    which is the CSR structural invariant (sparse.rs:300-358).
+
+    Multiple value channels ride the same sort so callers (e.g. binary
+    ops) can segregate lhs/rhs contributions in one pass.
+    """
+    cap = rows.shape[0]
+    n_ch = len(value_channels)
+    if cap == 0:
+        zero_idx = jnp.zeros((out_cap,), dtype=INDEX_DTYPE)
+        return CompressedCoo(
+            indptr=jnp.zeros((n_outer + 1,), dtype=INDEX_DTYPE),
+            indices=zero_idx,
+            values=tuple(
+                jnp.zeros((out_cap,), dtype=v.dtype) for v in value_channels
+            ),
+            nnz=jnp.zeros((), dtype=INDEX_DTYPE),
+            required_nnz=jnp.zeros((), dtype=INDEX_DTYPE),
+        )
+
+    live = valid_mask(cap, nvalid)
+    # Sentinel row n_outer pushes padding to the end of the sort and out of
+    # range of every scatter below (mode="drop").
+    srows = jnp.where(live, rows.astype(INDEX_DTYPE), n_outer)
+    scols = jnp.where(live, cols.astype(INDEX_DTYPE), 0)
+    svals = [
+        jnp.where(live, v, jnp.zeros((), dtype=v.dtype))
+        for v in value_channels
+    ]
+
+    sorted_ops = jax.lax.sort((srows, scols, *svals), num_keys=2)
+    r, c = sorted_ops[0], sorted_ops[1]
+    vs = sorted_ops[2:]
+
+    live_sorted = r < n_outer
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (r[1:] != r[:-1]) | (c[1:] != c[:-1]),
+        ]
+    )
+    unique = first & live_sorted
+    # Group id of each sorted entry; padding inherits the last group but
+    # contributes zero (values were zeroed pre-sort).
+    gid = jnp.cumsum(unique.astype(INDEX_DTYPE)) - 1
+    required = jnp.sum(unique.astype(INDEX_DTYPE))
+
+    scatter_idx = jnp.where(unique, gid, out_cap)
+    out_indices = (
+        jnp.zeros((out_cap,), dtype=INDEX_DTYPE)
+        .at[scatter_idx]
+        .set(c, mode="drop")
+    )
+    out_vals = tuple(
+        jnp.zeros((out_cap,), dtype=v.dtype).at[gid].add(v, mode="drop")
+        for v in vs
+    )
+    # Entries whose group id overflowed out_cap were dropped above; clamp
+    # the reported nnz accordingly.
+    nnz = jnp.minimum(required, out_cap).astype(INDEX_DTYPE)
+    indptr = indptr_from_rows(r, unique & (gid < out_cap), n_outer)
+    return CompressedCoo(
+        indptr=indptr,
+        indices=out_indices,
+        values=out_vals,
+        nnz=nnz,
+        required_nnz=required,
+    )
+
+
+def prune_channel(values: jax.Array, nnz, *, pad_value=0) -> jax.Array:
+    """Zero out padding positions of a capacity-padded channel."""
+    live = valid_mask(values.shape[0], nnz)
+    return jnp.where(live, values, jnp.asarray(pad_value, dtype=values.dtype))
+
+
+def is_concrete(*arrays) -> bool:
+    """True when no operand is a JAX tracer (host/eager path allowed)."""
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)

@@ -1,0 +1,68 @@
+"""Sparse×dense products: SpMV and SpMM.
+
+TPU-native designs for the reference product kernels
+(/root/reference/sprs/src/sparse/prod.rs:74-298).  The Rust kernels are
+scalar row/column sweeps; here both storage orders reduce to two
+bandwidth-friendly vector primitives that XLA fuses well:
+
+* CSR (gather form):   y = segment_sum(data * x[indices], row_ids)
+* CSC (scatter form):  y[indices] += data * x[col_ids]
+
+Padding entries are free: their segment id is out of range (dropped) and
+their data is zero.  A Pallas kernel path for large matrices lives in
+``sprs_tpu.ops.pallas``; this module is the portable XLA reference that
+also serves as its correctness oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import ShapeError
+from ..formats.csmat import CsMat
+
+
+def _gather_rows(x: jax.Array, ids: jax.Array) -> jax.Array:
+    """Clamped gather; padding rides on data==0."""
+    return x[jnp.minimum(ids, x.shape[0] - 1)]
+
+
+def spmv(mat: CsMat, x: jax.Array) -> jax.Array:
+    """y = A @ x for a dense vector x.  Fully jittable."""
+    x = jnp.asarray(x)
+    if x.shape != (mat.cols,):
+        raise ShapeError(f"spmv: A is {mat.shape}, x is {x.shape}")
+    outer = mat.outer_ids()
+    if mat.is_csr:
+        contrib = mat.data * _gather_rows(x, mat.indices)
+        return jax.ops.segment_sum(contrib, outer, num_segments=mat.rows)
+    # CSC: outer ids are columns; scatter-add into rows.
+    contrib = mat.data * _gather_rows(x, outer)
+    y = jnp.zeros((mat.rows,), dtype=contrib.dtype)
+    return y.at[mat.indices].add(contrib, mode="drop")
+
+
+def spmm(mat: CsMat, x: jax.Array) -> jax.Array:
+    """Y = A @ X for a dense matrix X of shape (cols, k)."""
+    x = jnp.asarray(x)
+    if x.ndim != 2 or x.shape[0] != mat.cols:
+        raise ShapeError(f"spmm: A is {mat.shape}, X is {x.shape}")
+    outer = mat.outer_ids()
+    if mat.is_csr:
+        contrib = mat.data[:, None] * _gather_rows(x, mat.indices)
+        return jax.ops.segment_sum(contrib, outer, num_segments=mat.rows)
+    contrib = mat.data[:, None] * _gather_rows(x, outer)
+    y = jnp.zeros((mat.rows, x.shape[1]), dtype=contrib.dtype)
+    return y.at[mat.indices].add(contrib, mode="drop")
+
+
+def dense_matmul_sparse(x: jax.Array, mat: CsMat) -> jax.Array:
+    """X @ A via the transpose identity (X·A = (Aᵀ·Xᵀ)ᵀ, csmat.rs:2050-2117)."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        # xᵀ A  ==  (Aᵀ x)
+        return spmv(mat.T, x)
+    if x.shape[-1] != mat.rows:
+        raise ShapeError(f"dense@sparse: X is {x.shape}, A is {mat.shape}")
+    return spmm(mat.T, x.T).T

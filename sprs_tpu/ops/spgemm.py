@@ -1,0 +1,129 @@
+"""Sparse×sparse product (SpGEMM) by Expand–Sort–Compress.
+
+The reference implements SpGEMM with the SMMP two-phase algorithm: a
+symbolic pass building the output pattern with a dense `seen` scatter mask
+followed by a numeric pass with a dense accumulator row
+(/root/reference/sprs/src/sparse/smmp.rs:81-189).  Dense per-row scatter
+masks are a poor fit for the TPU's vector units; the TPU-native design is
+**ESC (expand–sort–compress)**:
+
+1. *Expand*: enumerate every partial product a_ik·b_kj as a COO triple.
+   The mapping from a flat product index t to its (A-entry, B-entry) pair
+   is a vectorized ``searchsorted`` over the cumulative B-row lengths —
+   no data-dependent control flow, fully MXU/VPU-friendly.
+2. *Sort*: multi-key ``lax.sort`` by (row, col).
+3. *Compress*: segmented duplicate-sum (shared with triplet compression).
+
+Capacity discipline: the number of partial products (``prod_cap``) and
+output nonzeros (``out_cap``) must be static under jit.  On concrete
+inputs both are computed exactly; traced callers pass bounds and can
+check ``required_nnz``.  This mirrors the reference's grow-and-retry
+bound nnz(A)+nnz(B) (smmp.rs:92-93) turned into an explicit contract.
+
+All four storage combinations reduce to CSR×CSR via transpose identities
+(csmat.rs:1933-1948); the result storage follows the lhs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..errors import CapacityError, ShapeError
+from ..formats.csmat import CsMat
+from ..formats.util import INDEX_DTYPE, compress_coo, is_concrete
+
+
+def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
+    """Enumerate partial products of CSR a × CSR b as padded COO arrays."""
+    cap_a = a.cap
+    a_outer = a.outer_ids()  # row of each A entry; padding -> a.rows
+    a_live = a.live_mask()
+    k = jnp.minimum(a.indices, b.rows - 1)  # B row hit by each A entry
+    b_len = jnp.where(a_live, b.indptr[k + 1] - b.indptr[k], 0)
+    offsets = jnp.cumsum(b_len)  # inclusive scan, (cap_a,)
+    total = offsets[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
+
+    t = jnp.arange(prod_cap, dtype=INDEX_DTYPE)
+    p = jnp.searchsorted(offsets, t, side="right").astype(INDEX_DTYPE)
+    p_c = jnp.minimum(p, cap_a - 1)
+    start = offsets[p_c] - b_len[p_c]
+    q = b.indptr[k[p_c]] + (t - start)
+    q_c = jnp.minimum(q, b.cap - 1)
+    valid = t < total
+
+    rows = jnp.where(valid, a_outer[p_c], a.rows)
+    cols = jnp.where(valid, b.indices[q_c], 0)
+    vals = jnp.where(
+        valid, a.data[p_c] * b.data[q_c], jnp.zeros((), a.data.dtype)
+    )
+    return rows, cols, vals, total
+
+
+def _exact_prod_count(a: CsMat, b: CsMat) -> int:
+    import numpy as np
+
+    a_idx = np.asarray(a.indices)[: int(a.nnz)]
+    b_lens = np.diff(np.asarray(b.indptr))
+    return int(b_lens[a_idx].sum()) if a_idx.size else 0
+
+
+def spgemm(
+    a: CsMat,
+    b: CsMat,
+    *,
+    out_cap: Optional[int] = None,
+    prod_cap: Optional[int] = None,
+    check_capacity: bool = True,
+) -> CsMat:
+    """C = A @ B for sparse A, B.
+
+    On concrete inputs, capacities default to exact values and the result
+    is tightly packed.  Under jit, ``prod_cap`` (and optionally
+    ``out_cap``, defaulting to ``prod_cap``) must be given; overflow
+    truncates and is reported via host check when ``check_capacity``.
+    """
+    if a.cols != b.rows:
+        raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")
+    if a.is_csc:
+        # (A·B) = (Bᵀ·Aᵀ)ᵀ — runs the CSR kernel, returns CSC.
+        return spgemm(
+            b.T.to_csr(),
+            a.T.to_csr(),
+            out_cap=out_cap,
+            prod_cap=prod_cap,
+            check_capacity=check_capacity,
+        ).T
+    b = b.to_csr()
+
+    concrete = is_concrete(a.indptr, a.indices, b.indptr)
+    if prod_cap is None:
+        if not concrete:
+            raise ValueError(
+                "spgemm under jit requires a static prod_cap bound"
+            )
+        prod_cap = max(_exact_prod_count(a, b), 1)
+    rows, cols, vals, total = _expand_products(a, b, prod_cap)
+
+    cap0 = out_cap if out_cap is not None else prod_cap
+    res = compress_coo(
+        rows=rows,
+        cols=cols,
+        value_channels=(vals,),
+        nvalid=prod_cap,
+        n_outer=a.rows,
+        n_inner=b.cols,
+        out_cap=cap0,
+    )
+    c = CsMat(res.indptr, res.indices, res.values[0], (a.rows, b.cols), "csr")
+    if concrete and check_capacity:
+        required = int(res.required_nnz)
+        if int(total) > prod_cap:
+            raise CapacityError(int(total), prod_cap)
+        if required > cap0:
+            raise CapacityError(required, cap0)
+        if out_cap is None:
+            # tighten to the exact nnz for eager callers
+            c = c.with_cap(max(required, 1))
+    return c
