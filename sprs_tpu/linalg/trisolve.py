@@ -1,0 +1,359 @@
+"""Sparse triangular solves with dense and sparse right-hand sides.
+
+Reference: /root/reference/sprs/src/sparse/linalg/trisolve.rs — four
+dense-RHS kernels (CSR/CSC × lower/upper, trisolve.rs:30-262) and the
+sparse-RHS Gilbert–Peierls solve (trisolve.rs:286-358).
+
+TPU-native design — two device strategies plus a host path:
+
+* ``method="scan"``: a ``lax.scan`` over rows/columns.  Sequential like
+  the reference sweep, but jittable and shape-static: each step gathers a
+  fixed-width window of the current row (width = max row nnz), masks the
+  tail, and updates the solution functionally.  O(n · W) work.
+* ``method="levels"``: the production path for repeated solves.  A
+  host-side symbolic pass computes the dependency *level schedule* of the
+  triangle (rows whose in-neighbors are all in earlier levels); the
+  device then runs one batched, fully-parallel update per level.  This is
+  the standard way to map sequential sparse triangular sweeps onto wide
+  vector hardware — the symbolic cost amortizes exactly like the
+  reference's LdlSymbolic/LdlNumeric split.
+
+Singularity: on concrete inputs a zero structural/numeric diagonal
+raises :class:`~sprs_tpu.errors.SingularMatrixError` (matching
+trisolve.rs:64-69); under jit the solve NaN-poisons instead (XLA cannot
+raise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import NonSquareMatrixError, ShapeError, SingularMatrixError
+from ..formats.csmat import CsMat
+from ..formats.csvec import CsVec
+from ..formats.util import INDEX_DTYPE, is_concrete
+
+
+def _check_square(mat: CsMat):
+    if mat.shape[0] != mat.shape[1]:
+        raise NonSquareMatrixError(f"triangular solve needs square, got {mat.shape}")
+
+
+def _check_rhs(mat: CsMat, b) -> jax.Array:
+    b = jnp.asarray(b)
+    if b.shape[0] != mat.shape[0]:
+        raise ShapeError(f"rhs dim {b.shape} vs matrix {mat.shape}")
+    return b
+
+
+def _host_diag_check(mat: CsMat):
+    if is_concrete(mat.indptr, mat.data):
+        d = np.asarray(mat.diag())
+        if np.any(d == 0):
+            raise SingularMatrixError(
+                f"zero diagonal at index {int(np.argmax(d == 0))}"
+            )
+
+
+def diag_solve(mat: CsMat, b) -> jax.Array:
+    """Solve D x = b for the diagonal of ``mat`` (linalg.rs:17-29)."""
+    _check_square(mat)
+    b = _check_rhs(mat, b)
+    _host_diag_check(mat)
+    d = mat.diag()
+    if b.ndim == 2:
+        return b / d[:, None]
+    return b / d
+
+
+def _row_window_width(mat: CsMat) -> int:
+    if is_concrete(mat.indptr):
+        return max(int(mat.max_outer_nnz()), 1)
+    return mat.cap
+
+
+# ---------------------------------------------------------------------------
+# scan kernels (outer-dim sweep, CSR gather / CSC scatter)
+# ---------------------------------------------------------------------------
+
+
+def _scan_solve_csr(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
+    """Row sweep: x[i] = (b[i] − Σ_{j≠i, stored, correct side} a_ij x_j)/a_ii.
+
+    Entries on the wrong side of the diagonal are ignored, like the
+    reference kernels (trisolve.rs:30-73 docs).
+    """
+    n = mat.shape[0]
+    w = _row_window_width(mat)
+    indptr, indices, data = mat.indptr, mat.indices, mat.data
+    cap = mat.cap
+
+    def step(x, i):
+        i = jnp.where(lower, i, n - 1 - i)
+        start = indptr[i]
+        ln = indptr[i + 1] - start
+        start_c = jnp.minimum(start, jnp.maximum(cap - w, 0))
+        off = start - start_c
+        idx = jax.lax.dynamic_slice(indices, (start_c,), (w,))
+        val = jax.lax.dynamic_slice(data, (start_c,), (w,))
+        k = jnp.arange(w, dtype=INDEX_DTYPE)
+        in_row = (k >= off) & (k < off + ln)
+        side = (idx < i) if lower else (idx > i)
+        contrib = jnp.where(in_row & side, val * x[idx], 0)
+        diag = jnp.sum(jnp.where(in_row & (idx == i), val, 0))
+        xi = (b[i] - jnp.sum(contrib)) / diag
+        return x.at[i].set(xi), None
+
+    x0 = jnp.zeros_like(b)
+    x, _ = jax.lax.scan(step, x0, jnp.arange(n, dtype=INDEX_DTYPE))
+    return x
+
+
+def _scan_solve_csc(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
+    """Column sweep (scatter form, trisolve.rs:85-149): after computing
+    x[j], subtract x[j]·A[:, j] from the running rhs."""
+    n = mat.shape[0]
+    w = _row_window_width(mat)
+    indptr, indices, data = mat.indptr, mat.indices, mat.data
+    cap = mat.cap
+
+    def step(carry, j):
+        rhs, x = carry
+        j = jnp.where(lower, j, n - 1 - j)
+        start = indptr[j]
+        ln = indptr[j + 1] - start
+        start_c = jnp.minimum(start, jnp.maximum(cap - w, 0))
+        off = start - start_c
+        idx = jax.lax.dynamic_slice(indices, (start_c,), (w,))
+        val = jax.lax.dynamic_slice(data, (start_c,), (w,))
+        k = jnp.arange(w, dtype=INDEX_DTYPE)
+        in_col = (k >= off) & (k < off + ln)
+        diag = jnp.sum(jnp.where(in_col & (idx == j), val, 0))
+        xj = rhs[j] / diag
+        side = (idx > j) if lower else (idx < j)
+        upd = jnp.where(in_col & side, val * xj, 0)
+        rhs = rhs.at[idx].add(-upd, mode="drop")
+        return (rhs, x.at[j].set(xj)), None
+
+    (rhs, x), _ = jax.lax.scan(
+        step,
+        (b, jnp.zeros_like(b)),
+        jnp.arange(n, dtype=INDEX_DTYPE),
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# level-scheduled kernel
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TriSchedule:
+    """Host-computed dependency levels of a triangular matrix.
+
+    ``level_rows[l]`` lists the rows solvable in parallel at level ``l``,
+    padded with the sentinel ``n``.  Built once per pattern; reusable for
+    every numeric solve with that pattern (the LDLᵀ use case).
+    """
+
+    level_rows: np.ndarray  # (n_levels, max_width) int32, padded with n
+    n: int
+    lower: bool
+
+    @property
+    def n_levels(self) -> int:
+        return self.level_rows.shape[0]
+
+
+def build_schedule(mat: CsMat, *, lower: bool = True) -> TriSchedule:
+    """Compute the level schedule on the host (symbolic, O(nnz))."""
+    _check_square(mat)
+    csr = mat.to_csr()
+    n = csr.shape[0]
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    level = np.zeros(n, dtype=np.int64)
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        deps = indices[indptr[i] : indptr[i + 1]]
+        deps = deps[deps < i] if lower else deps[deps > i]
+        if deps.size:
+            level[i] = level[deps].max() + 1
+    n_levels = int(level.max()) + 1 if n else 1
+    counts = np.bincount(level, minlength=n_levels)
+    width = max(int(counts.max()), 1) if n else 1
+    rows = np.full((n_levels, width), n, dtype=np.int32)
+    fill = np.zeros(n_levels, dtype=np.int64)
+    for i in range(n):
+        l = level[i]
+        rows[l, fill[l]] = i
+        fill[l] += 1
+    return TriSchedule(level_rows=rows, n=n, lower=lower)
+
+
+def _level_solve_csr(
+    mat: CsMat, b: jax.Array, sched: TriSchedule
+) -> jax.Array:
+    n = mat.shape[0]
+    w = _row_window_width(mat)
+    indptr, indices, data = mat.indptr, mat.indices, mat.data
+    cap = mat.cap
+    lower = sched.lower
+    level_rows = jnp.asarray(sched.level_rows)
+
+    def solve_row(i, x):
+        i_c = jnp.minimum(i, n - 1)
+        start = indptr[i_c]
+        ln = indptr[i_c + 1] - start
+        start_c = jnp.minimum(start, jnp.maximum(cap - w, 0))
+        off = start - start_c
+        idx = jax.lax.dynamic_slice(indices, (start_c,), (w,))
+        val = jax.lax.dynamic_slice(data, (start_c,), (w,))
+        k = jnp.arange(w, dtype=INDEX_DTYPE)
+        in_row = (k >= off) & (k < off + ln)
+        side = (idx < i_c) if lower else (idx > i_c)
+        contrib = jnp.sum(jnp.where(in_row & side, val * x[idx], 0))
+        diag = jnp.sum(jnp.where(in_row & (idx == i_c), val, 0))
+        return (b[i_c] - contrib) / diag
+
+    def level_step(l, x):
+        rows = level_rows[l]  # (width,), padded with n
+        vals = jax.vmap(solve_row, in_axes=(0, None))(rows, x)
+        return x.at[rows].set(vals, mode="drop")
+
+    x0 = jnp.zeros_like(b)
+    return jax.lax.fori_loop(0, sched.n_levels, level_step, x0)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def lsolve(
+    mat: CsMat,
+    b,
+    *,
+    method: str = "auto",
+    schedule: Optional[TriSchedule] = None,
+) -> jax.Array:
+    """Solve L x = b using the lower-triangular part of ``mat``.
+
+    Covers lsolve_csr_dense_rhs / lsolve_csc_dense_rhs
+    (trisolve.rs:30-149).  ``method``: "scan", "levels", or "auto"
+    (levels when a schedule is given or the input is concrete).
+    """
+    return _trisolve(mat, b, lower=True, method=method, schedule=schedule)
+
+
+def usolve(
+    mat: CsMat,
+    b,
+    *,
+    method: str = "auto",
+    schedule: Optional[TriSchedule] = None,
+) -> jax.Array:
+    """Solve U x = b using the upper-triangular part of ``mat``
+    (usolve_csr/usolve_csc, trisolve.rs:161-262)."""
+    return _trisolve(mat, b, lower=False, method=method, schedule=schedule)
+
+
+def _trisolve(mat, b, *, lower, method, schedule):
+    _check_square(mat)
+    b = _check_rhs(mat, b)
+    _host_diag_check(mat)
+    if b.ndim == 2:
+        solve1 = lambda col: _trisolve(  # noqa: E731
+            mat, col, lower=lower, method=method, schedule=schedule
+        )
+        return jax.vmap(solve1, in_axes=1, out_axes=1)(b)
+
+    if method == "auto":
+        if schedule is not None:
+            method = "levels"
+        elif is_concrete(mat.indptr):
+            method = "levels"
+        else:
+            method = "scan"
+
+    if method == "levels":
+        if schedule is None:
+            schedule = build_schedule(mat, lower=lower)
+        if schedule.lower != lower:
+            raise ValueError("schedule direction mismatch")
+        return _level_solve_csr(mat.to_csr(), b, schedule)
+    if method == "scan":
+        if mat.is_csr:
+            return _scan_solve_csr(mat, b, lower)
+        return _scan_solve_csc(mat, b, lower)
+    raise ValueError(f"unknown trisolve method {method!r}")
+
+
+def lsolve_csc_sparse_rhs(l_mat: CsMat, b: CsVec) -> CsVec:
+    """Sparse-RHS lower solve via Gilbert–Peierls reach
+    (trisolve.rs:286-358).
+
+    Host-side: the solution's pattern is the graph reach of the rhs
+    pattern through L's DAG (computed by DFS), then only reached columns
+    are solved.  Used by up-looking factorizations; device batching of
+    this path comes with the level-scheduled LDL numeric.
+    """
+    _check_square(l_mat)
+    if l_mat.shape[0] != b.dim:
+        raise ShapeError("sparse rhs dim mismatch")
+    csc = l_mat.to_csc()
+    n = csc.shape[0]
+    indptr = np.asarray(csc.indptr)
+    indices = np.asarray(csc.indices)
+    data = np.asarray(csc.data)
+    b_idx = np.asarray(b.indices)[: int(b.nnz)]
+    b_val = np.asarray(b.data)[: int(b.nnz)]
+
+    # DFS reach from rhs pattern (Enter/Exit double-stack in the
+    # reference, stack.rs; a plain recursion-free DFS here).
+    visited = np.zeros(n, dtype=bool)
+    topo: list = []
+    for s in b_idx:
+        if visited[s]:
+            continue
+        stack = [(int(s), indptr[s])]
+        visited[s] = True
+        while stack:
+            node, it = stack.pop()
+            pushed = False
+            while it < indptr[node + 1]:
+                nxt = indices[it]
+                it += 1
+                if nxt > node and not visited[nxt]:
+                    visited[nxt] = True
+                    stack.append((node, it))
+                    stack.append((int(nxt), indptr[nxt]))
+                    pushed = True
+                    break
+            if not pushed:
+                topo.append(node)
+    topo.reverse()  # topological order of the reach
+
+    x = np.zeros(n, dtype=np.asarray(b.data).dtype)
+    x[b_idx] = b_val
+    for j in topo:
+        lo, hi = indptr[j], indptr[j + 1]
+        col_idx = indices[lo:hi]
+        col_val = data[lo:hi]
+        dmask = col_idx == j
+        if not dmask.any() or col_val[dmask][0] == 0:
+            raise SingularMatrixError(f"zero diagonal at column {j}")
+        x[j] /= col_val[dmask][0]
+        below = col_idx > j
+        x[col_idx[below]] -= col_val[below] * x[j]
+
+    from ..formats.csvec import csvec
+
+    pattern = np.sort(np.asarray(topo, dtype=np.int64))
+    return csvec(n, pattern.astype(np.int32), x[pattern])

@@ -1,0 +1,319 @@
+"""Format construction, validation, and conversions.
+
+Mirrors the reference's constructor/validation tests (csmat.rs:2337-2568)
+and triplet tests (triplet.rs:336-643) against dense oracles.
+"""
+
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.utils import fixtures
+
+
+@pytest.fixture(params=["a", "b", "rect"])
+def dense(request):
+    return fixtures.all_fixtures()[request.param]
+
+
+class TestConstruction:
+    def test_from_dense_roundtrip(self, dense):
+        for storage in ("csr", "csc"):
+            m = st.from_dense(dense, storage=storage)
+            m.check_structure()
+            assert m.nnz == np.count_nonzero(dense)
+            np.testing.assert_allclose(m.to_dense(), dense)
+
+    def test_from_dense_eps(self):
+        d = np.array([[0.05, 1.0], [0.2, 0.0]])
+        m = st.from_dense(d, eps=0.1)
+        assert m.nnz == 2
+        np.testing.assert_allclose(
+            m.to_dense(), np.array([[0.0, 1.0], [0.2, 0.0]])
+        )
+
+    def test_csr_explicit(self):
+        m = st.csr((3, 3), [0, 2, 2, 3], [0, 2, 1], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(
+            m.to_dense(), [[1, 0, 2], [0, 0, 0], [0, 3, 0]]
+        )
+
+    def test_eye(self):
+        for storage in ("csr", "csc"):
+            m = st.eye(4, storage=storage)
+            np.testing.assert_allclose(m.to_dense(), np.eye(4))
+
+    def test_diag_csmat(self):
+        m = st.diag_csmat(np.array([1.0, 2.0, 3.0]))
+        np.testing.assert_allclose(m.to_dense(), np.diag([1.0, 2.0, 3.0]))
+
+    def test_empty(self):
+        m = st.empty((3, 4))
+        assert m.nnz == 0
+        np.testing.assert_allclose(m.to_dense(), np.zeros((3, 4)))
+
+    def test_from_unsorted_sums_duplicates(self):
+        m = st.csmat_from_unsorted(
+            (2, 3), [0, 3, 4], [2, 0, 2, 1], [1.0, 2.0, 5.0, 3.0]
+        )
+        np.testing.assert_allclose(m.to_dense(), [[2, 0, 6], [0, 3, 0]])
+
+    def test_from_scipy_roundtrip(self, dense):
+        import scipy.sparse as sp
+
+        m = st.from_scipy(sp.csr_matrix(dense))
+        np.testing.assert_allclose(m.to_dense(), dense)
+        back = m.to_scipy()
+        np.testing.assert_allclose(back.toarray(), dense)
+
+
+class TestValidation:
+    def test_unsorted_rejected(self):
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 2, 2], [1, 0], [1.0, 2.0])
+
+    def test_duplicate_rejected(self):
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 2, 2], [1, 1], [1.0, 2.0])
+
+    def test_out_of_range_rejected(self):
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 1, 2], [1, 5], [1.0, 2.0])
+
+    def test_bad_indptr_rejected(self):
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 2, 1], [0, 1], [1.0, 2.0])
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 1], [0], [1.0])  # wrong length
+
+    def test_nnz_exceeds_cap(self):
+        with pytest.raises(st.StructureError):
+            st.csr((2, 2), [0, 1, 2], [0, 1], [1.0, 2.0], cap=1)
+
+
+class TestTransposeAndStorage:
+    def test_transpose_is_metadata(self, dense):
+        m = st.from_dense(dense)
+        t = m.T
+        assert t.storage == "csc"
+        assert t.shape == dense.T.shape
+        np.testing.assert_allclose(t.to_dense(), dense.T)
+        # same underlying buffers
+        assert t.indices is m.indices and t.data is m.data
+
+    def test_storage_roundtrip(self, dense):
+        m = st.from_dense(dense)
+        back = m.to_csc().to_csr()
+        np.testing.assert_array_equal(back.indptr, m.indptr)
+        np.testing.assert_array_equal(back.indices, m.indices)
+        np.testing.assert_allclose(back.data, m.data)
+
+
+class TestAccessors:
+    def test_get(self, dense):
+        m = st.from_dense(dense)
+        for i in range(dense.shape[0]):
+            for j in range(dense.shape[1]):
+                assert float(m[i, j]) == dense[i, j]
+
+    def test_diag(self):
+        d = fixtures.dense_a()
+        m = st.from_dense(d)
+        np.testing.assert_allclose(m.diag(), np.diag(d))
+        np.testing.assert_allclose(m.to_csc().diag(), np.diag(d))
+
+    def test_degrees(self):
+        d = fixtures.dense_a()
+        m = st.from_dense(d)
+        expect = [
+            np.count_nonzero(d[i]) - (1 if d[i, i] != 0 else 0)
+            for i in range(5)
+        ]
+        np.testing.assert_array_equal(m.degrees(), expect)
+
+    def test_outer_nnz(self):
+        d = fixtures.dense_a()
+        m = st.from_dense(d)
+        np.testing.assert_array_equal(
+            m.outer_nnz(), np.count_nonzero(d, axis=1)
+        )
+        assert m.max_outer_nnz() == int(np.count_nonzero(d, axis=1).max())
+
+    def test_density(self):
+        m = st.from_dense(fixtures.dense_a())
+        assert m.density == m.nnz / 25
+
+
+class TestElementwise:
+    def test_map_scale_neg(self, dense):
+        m = st.from_dense(dense)
+        np.testing.assert_allclose(m.scale(2.0).to_dense(), 2 * dense)
+        np.testing.assert_allclose((-m).to_dense(), -dense)
+        np.testing.assert_allclose((m / 4.0).to_dense(), dense / 4)
+        sq = m.map(lambda x: x * x)
+        np.testing.assert_allclose(sq.to_dense(), dense * dense)
+
+    def test_map_does_not_densify(self):
+        m = st.from_dense(fixtures.dense_a())
+        shifted = m.map(lambda x: x + 1.0)
+        assert shifted.nnz == m.nnz  # only stored entries changed
+
+
+class TestSliceCapCompact:
+    def test_slice_outer(self):
+        d = fixtures.dense_a()
+        m = st.from_dense(d)
+        s = m.slice_outer(1, 4)
+        np.testing.assert_allclose(s.to_dense(), d[1:4])
+        s2 = st.from_dense(d, storage="csc").slice_outer(2, 5)
+        np.testing.assert_allclose(s2.to_dense(), d[:, 2:5])
+
+    def test_with_cap(self):
+        m = st.from_dense(fixtures.dense_a())
+        big = m.with_cap(m.cap + 10)
+        assert big.cap == m.cap + 10 and big.nnz == m.nnz
+        np.testing.assert_allclose(big.to_dense(), m.to_dense())
+        with pytest.raises(st.StructureError):
+            m.with_cap(m.nnz - 1)
+
+    def test_compact_drops_zeros(self):
+        d = fixtures.dense_a()
+        m = st.from_dense(d)
+        mz = m.with_data(
+            np.where(np.asarray(m.data) == 3.5, 0.0, np.asarray(m.data))
+        )
+        c = mz.compact()
+        assert c.nnz == m.nnz - 1
+        expect = d.copy()
+        expect[expect == 3.5] = 0.0
+        np.testing.assert_allclose(c.to_dense(), expect)
+        c.check_structure()
+
+
+class TestTriplet:
+    def test_builder_and_duplicates(self):
+        t = st.TriMat((3, 4))
+        t.add_triplet(0, 1, 2.0)
+        t.add_triplet(2, 3, 1.0)
+        t.add_triplet(0, 1, 3.0)  # duplicate → summed
+        m = t.to_csr()
+        assert m.nnz == 2
+        expect = np.zeros((3, 4))
+        expect[0, 1] = 5.0
+        expect[2, 3] = 1.0
+        np.testing.assert_allclose(m.to_dense(), expect)
+        np.testing.assert_allclose(t.to_csc().to_dense(), expect)
+
+    def test_trailing_empty_rows(self):
+        # regression analog of reference issue #170
+        t = st.TriMat((4, 2))
+        t.add_triplet(0, 0, 1.0)
+        m = t.to_csr()
+        assert m.indptr.shape == (5,)
+        np.testing.assert_array_equal(m.indptr, [0, 1, 1, 1, 1])
+
+    def test_from_triplets_and_locations(self):
+        t = st.TriMat.from_triplets(
+            (2, 2), [0, 1, 0], [0, 1, 0], [1.0, 2.0, 3.0]
+        )
+        assert t.find_locations(0, 0) == [0, 2]
+        t.set_triplet(2, 0, 1, 7.0)
+        np.testing.assert_allclose(
+            t.to_csr().to_dense(), [[1, 7], [0, 2]]
+        )
+
+    def test_transpose_view(self):
+        t = st.TriMat.from_triplets((2, 3), [0, 1], [2, 0], [1.0, 2.0])
+        tt = t.transpose_view()
+        np.testing.assert_allclose(
+            tt.to_csr().to_dense(), t.to_dense().T
+        )
+
+    def test_out_of_range_add(self):
+        t = st.TriMat((2, 2))
+        with pytest.raises(st.StructureError):
+            t.add_triplet(2, 0, 1.0)
+        with pytest.raises(st.StructureError):
+            t.add_triplet(0, -1, 1.0)
+
+    def test_coo_to_csmat_jit(self):
+        import jax
+
+        rows = np.array([1, 0, 1, 2], np.int32)
+        cols = np.array([0, 1, 0, 2], np.int32)
+        vals = np.array([1.0, 2.0, 3.0, 4.0])
+
+        f = jax.jit(
+            lambda r, c, v: st.coo_to_csmat(r, c, v, (3, 3), cap=4)
+        )
+        m = f(rows, cols, vals)
+        np.testing.assert_allclose(
+            m.to_dense(), [[0, 2, 0], [4, 0, 0], [0, 0, 4]]
+        )
+
+
+class TestVec:
+    def test_construct_and_dense(self):
+        v = st.csvec(6, [1, 3, 5], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(
+            v.to_dense(), [0, 1, 0, 2, 0, 3]
+        )
+        with pytest.raises(st.StructureError):
+            st.csvec(6, [3, 1], [1.0, 2.0])
+        with pytest.raises(st.StructureError):
+            st.csvec(3, [1, 5], [1.0, 2.0])
+
+    def test_from_unsorted_and_dense(self):
+        v = st.csvec_from_unsorted(5, [4, 0, 4], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(v.to_dense(), [2, 0, 0, 0, 4])
+        w = st.csvec_from_dense(np.array([0.0, 1.0, 0.0, 2.0]))
+        assert w.nnz == 2
+        np.testing.assert_allclose(w.to_dense(), [0, 1, 0, 2])
+
+    def test_get(self):
+        v = st.csvec(6, [1, 3, 5], [1.0, 2.0, 3.0])
+        assert float(v[3]) == 2.0
+        assert float(v[0]) == 0.0
+        assert float(v[5]) == 3.0
+
+    def test_norms(self):
+        v = st.csvec(5, [0, 2], [3.0, -4.0])
+        assert float(v.l1_norm()) == 7.0
+        assert float(v.l2_norm()) == 5.0
+        assert float(v.squared_l2_norm()) == 25.0
+        assert float(v.norm(np.inf)) == 4.0
+        assert float(v.norm(-np.inf)) == 3.0
+        assert float(v.norm(0)) == 2.0
+        np.testing.assert_allclose(float(v.norm(2)), 5.0)
+
+    def test_unit_normalize(self):
+        v = st.csvec(5, [0, 2], [3.0, -4.0]).unit_normalize()
+        np.testing.assert_allclose(float(v.l2_norm()), 1.0)
+
+    def test_dots(self):
+        v = st.csvec(8, [1, 3, 6], [1.0, 2.0, 3.0])
+        w = st.csvec(8, [3, 5, 6], [4.0, 5.0, 6.0])
+        dv, dw = v.to_dense(), w.to_dense()
+        assert float(v.dot(w)) == float(np.dot(dv, dw))
+        assert float(w.dot(v)) == float(np.dot(dv, dw))
+        x = np.arange(8.0)
+        assert float(v.dot(x)) == float(np.dot(dv, x))
+
+    def test_views(self):
+        v = st.csvec(4, [0, 2], [1.0, 2.0])
+        rv = v.row_view()
+        assert rv.shape == (1, 4)
+        np.testing.assert_allclose(rv.to_dense()[0], v.to_dense())
+        cv = v.col_view()
+        assert cv.shape == (4, 1)
+        np.testing.assert_allclose(cv.to_dense()[:, 0], v.to_dense())
+
+    def test_binops(self):
+        v = st.csvec(8, [1, 3, 6], [1.0, 2.0, 3.0])
+        w = st.csvec(8, [3, 5, 6], [4.0, 5.0, 6.0])
+        dv, dw = v.to_dense(), w.to_dense()
+        np.testing.assert_allclose((v + w).to_dense(), dv + dw)
+        np.testing.assert_allclose((v - w).to_dense(), dv - dw)
+        np.testing.assert_allclose((v * w).to_dense(), dv * dw)
+        np.testing.assert_allclose((v * 2.0).to_dense(), 2 * dv)
+        np.testing.assert_allclose((-v).to_dense(), -dv)

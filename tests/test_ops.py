@@ -1,0 +1,335 @@
+"""Dense-oracle tests for products, binops, kron, stacking, permutations.
+
+The key pattern replicated from the reference (prod.rs:598-693): every
+sparse expression is compared against the dense computation of the same
+expression across all storage/layout combinations, rtol=1e-7 atol=1e-12.
+"""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.utils import fixtures
+
+RTOL, ATOL = 1e-7, 1e-12
+
+
+def allclose(x, y):
+    np.testing.assert_allclose(np.asarray(x), y, rtol=RTOL, atol=ATOL)
+
+
+DA = fixtures.dense_a()
+DB = fixtures.dense_b()
+DR = fixtures.dense_rect()
+
+
+class TestSpMV:
+    @pytest.mark.parametrize("storage", ["csr", "csc"])
+    def test_square(self, storage):
+        m = st.from_dense(DA, storage=storage)
+        x = np.arange(1.0, 6.0)
+        allclose(st.spmv(m, x), DA @ x)
+        allclose(m @ x, DA @ x)
+
+    @pytest.mark.parametrize("storage", ["csr", "csc"])
+    def test_rect(self, storage):
+        m = st.from_dense(DR, storage=storage)
+        x = np.arange(6.0)
+        allclose(m @ x, DR @ x)
+
+    def test_vec_times_mat(self):
+        m = st.from_dense(DR)
+        x = np.arange(4.0)
+        allclose(st.ops.rmatmul(x, m), x @ DR)
+
+
+class TestSpMM:
+    @pytest.mark.parametrize(
+        "storage,k", itertools.product(["csr", "csc"], [1, 3, 8])
+    )
+    def test_sparse_dense(self, storage, k):
+        m = st.from_dense(DR, storage=storage)
+        x = np.arange(6.0 * k).reshape(6, k)
+        allclose(m @ x, DR @ x)
+
+    def test_dense_sparse(self):
+        m = st.from_dense(DR)
+        x = np.arange(12.0).reshape(3, 4)
+        allclose(st.ops.rmatmul(x, m), x @ DR)
+
+
+class TestSpGEMM:
+    @pytest.mark.parametrize(
+        "s1,s2", itertools.product(["csr", "csc"], repeat=2)
+    )
+    def test_all_storage_combos(self, s1, s2):
+        a = st.from_dense(DA, storage=s1)
+        b = st.from_dense(DB, storage=s2)
+        c = st.spgemm(a, b)
+        assert c.storage == s1  # result storage follows lhs
+        allclose(c.to_dense(), DA @ DB)
+        c.to_csr().check_structure()
+
+    def test_self_product(self):
+        a = st.from_dense(DA)
+        allclose(st.spgemm(a, a).to_dense(), DA @ DA)
+
+    def test_rect(self):
+        a = st.from_dense(DR)  # 4x6
+        b = st.from_dense(DR.T)  # 6x4
+        allclose(st.spgemm(a, b).to_dense(), DR @ DR.T)
+
+    def test_zero_rows_regression(self):
+        # analog of reference smmp.rs:476-489 (#239): operands with empty rows
+        z = np.zeros((4, 4))
+        z[1, 2] = 3.0
+        a = st.from_dense(z)
+        allclose(st.spgemm(a, a).to_dense(), z @ z)
+
+    def test_with_identity(self):
+        a = st.from_dense(DA)
+        i = st.eye(5, dtype=a.dtype)
+        allclose(st.spgemm(a, i).to_dense(), DA)
+        allclose(st.spgemm(i, a).to_dense(), DA)
+
+    def test_mat_times_sparse_vec(self):
+        a = st.from_dense(DA)
+        v = st.csvec(5, [0, 3], [1.0, 2.0])
+        out = a @ v
+        assert isinstance(out, st.CsVec)
+        allclose(out.to_dense(), DA @ v.to_dense())
+
+    def test_sparse_vec_times_mat(self):
+        a = st.from_dense(DA)
+        v = st.csvec(5, [0, 3], [1.0, 2.0])
+        out = v @ a
+        assert isinstance(out, st.CsVec)
+        allclose(out.to_dense(), v.to_dense() @ DA)
+
+    def test_random_larger(self):
+        rng = np.random.default_rng(0)
+        d1 = rng.random((40, 30)) * (rng.random((40, 30)) < 0.1)
+        d2 = rng.random((30, 50)) * (rng.random((30, 50)) < 0.1)
+        c = st.spgemm(st.from_dense(d1), st.from_dense(d2))
+        allclose(c.to_dense(), d1 @ d2)
+        assert c.nnz == np.count_nonzero(d1 @ d2)
+
+    def test_capacity_error(self):
+        a = st.from_dense(DA)
+        with pytest.raises(st.CapacityError):
+            st.spgemm(a, a, out_cap=2)
+
+
+class TestBinop:
+    @pytest.mark.parametrize(
+        "s1,s2", itertools.product(["csr", "csc"], repeat=2)
+    )
+    def test_add_sub(self, s1, s2):
+        a = st.from_dense(DA, storage=s1)
+        b = st.from_dense(DB, storage=s2)
+        c = a + b
+        assert c.storage == s1
+        allclose(c.to_dense(), DA + DB)
+        allclose((a - b).to_dense(), DA - DB)
+
+    def test_elementwise_mul(self):
+        a = st.from_dense(DA)
+        b = st.from_dense(DB)
+        allclose((a * b).to_dense(), DA * DB)
+
+    def test_max_min(self):
+        a = st.from_dense(DA)
+        b = st.from_dense(DB)
+        allclose(st.ops.maximum(a, b).to_dense(), np.maximum(DA, DB))
+        allclose(st.ops.minimum(a, b).to_dense(), np.minimum(DA, DB))
+
+    def test_sparse_plus_dense(self):
+        a = st.from_dense(DA)
+        allclose(a + DB, DA + DB)
+        allclose(a - DB, DA - DB)
+        allclose(st.ops.sub(DB, a), DB - DA)
+
+    def test_mul_dense_keeps_pattern(self):
+        a = st.from_dense(DA)
+        dense = np.full_like(DA, 2.0)
+        out = a * dense
+        assert isinstance(out, st.CsMat)
+        assert out.nnz == a.nnz
+        allclose(out.to_dense(), DA * 2.0)
+
+    def test_cancellation_keeps_stored_zero(self):
+        a = st.from_dense(DA)
+        c = a - a
+        allclose(c.to_dense(), np.zeros_like(DA))
+        pruned = c.compact()
+        assert pruned.nnz == 0
+
+
+class TestKron:
+    def test_vs_numpy(self):
+        a = st.from_dense(DA)
+        b = st.from_dense(DR)
+        allclose(
+            st.kronecker_product(a, b).to_dense(), np.kron(DA, DR)
+        )
+
+    def test_csc_operands(self):
+        a = st.from_dense(DA, storage="csc")
+        b = st.from_dense(DB, storage="csc")
+        allclose(
+            st.kronecker_product(a, b).to_dense(), np.kron(DA, DB)
+        )
+
+
+class TestStack:
+    def test_vstack(self):
+        mats = [st.from_dense(DA), st.from_dense(DB, storage="csc")]
+        allclose(st.vstack(mats).to_dense(), np.vstack([DA, DB]))
+
+    def test_hstack(self):
+        mats = [st.from_dense(DA), st.from_dense(DB)]
+        out = st.hstack(mats)
+        assert out.storage == "csc"
+        allclose(out.to_dense(), np.hstack([DA, DB]))
+
+    def test_bmat(self):
+        a, r = st.from_dense(DA), st.from_dense(DR.T[:5])  # 5x4... shape juggle
+        grid = [[a, None], [None, st.from_dense(DB)]]
+        expect = np.block(
+            [[DA, np.zeros((5, 5))], [np.zeros((5, 5)), DB]]
+        )
+        allclose(st.bmat(grid).to_dense(), expect)
+
+    def test_bmat_shape_errors(self):
+        a = st.from_dense(DA)
+        with pytest.raises(st.ShapeError):
+            st.bmat([[a, st.from_dense(DR)]])  # height mismatch
+        with pytest.raises(st.ShapeError):
+            st.bmat([[None, None], [a, None]])  # empty block col
+
+    def test_stack_mismatch(self):
+        with pytest.raises(st.ShapeError):
+            st.vstack([st.from_dense(DA), st.from_dense(DR)])
+
+
+class TestPermutation:
+    def test_identity(self):
+        p = st.Permutation.identity(5)
+        m = st.from_dense(DA)
+        allclose(st.permute_rows(m, p).to_dense(), DA)
+
+    def test_apply_vec(self):
+        p = st.Permutation.from_array([2, 0, 3, 1])
+        x = np.array([10.0, 20.0, 30.0, 40.0])
+        allclose(p @ x, x[[2, 0, 3, 1]])
+        allclose(p.inverse() @ (p @ x), x)
+
+    def test_permute_rows_cols(self):
+        perm = [4, 2, 0, 1, 3]
+        p = st.Permutation.from_array(perm)
+        m = st.from_dense(DA)
+        allclose(st.permute_rows(m, p).to_dense(), DA[perm])
+        allclose(st.permute_cols(m, p).to_dense(), DA[:, perm])
+
+    def test_papt(self):
+        perm = [4, 2, 0, 1, 3]
+        p = st.Permutation.from_array(perm)
+        m = st.from_dense(DA)
+        allclose(
+            st.transform_mat_papt(m, p).to_dense(),
+            DA[np.ix_(perm, perm)],
+        )
+
+    def test_paq(self):
+        pr = st.Permutation.from_array([3, 1, 0, 2])
+        pc = st.Permutation.from_array([5, 0, 1, 2, 4, 3])
+        m = st.from_dense(DR)
+        allclose(
+            st.transform_mat_paq(m, pr, pc).to_dense(),
+            DR[np.ix_([3, 1, 0, 2], [5, 0, 1, 2, 4, 3])],
+        )
+
+    def test_invalid_perm(self):
+        with pytest.raises(st.StructureError):
+            st.Permutation.from_array([0, 0, 1])
+
+    def test_compose(self):
+        p = st.Permutation.from_array([2, 0, 1])
+        q = st.Permutation.from_array([1, 2, 0])
+        x = np.array([1.0, 2.0, 3.0])
+        allclose((p.compose(q)) @ x, p @ (q @ x))
+
+
+class TestSymmetry:
+    def test_symmetric(self):
+        s = DA + DA.T
+        assert st.is_symmetric(st.from_dense(s))
+        assert st.is_symmetric(st.from_dense(s, storage="csc"))
+
+    def test_asymmetric_value(self):
+        s = DA + DA.T
+        s[0, 3] += 1.0  # breaks value symmetry, keeps pattern
+        assert not st.is_symmetric(st.from_dense(s))
+
+    def test_asymmetric_pattern(self):
+        assert not st.is_symmetric(st.from_dense(DA))
+
+    def test_nonsquare(self):
+        assert not st.is_symmetric(st.from_dense(DR))
+
+
+class TestAssignToDense:
+    def test_overwrites_stored_only(self):
+        m = st.from_dense(DA)
+        base = np.full((5, 5), 9.0)
+        out = st.ops.assign_to_dense(base, m)
+        expect = base.copy()
+        expect[DA != 0] = DA[DA != 0]
+        allclose(out, expect)
+
+
+class TestJitAndAutodiff:
+    def test_jit_dynamic_nnz_reuse(self):
+        cap = 16
+        m1 = st.from_dense(DA, cap=cap)
+        m2 = st.from_dense(DB, cap=cap)
+        calls = []
+
+        @jax.jit
+        def f(m, x):
+            calls.append(1)
+            return st.spmv(m, x)
+
+        x = np.arange(1.0, 6.0)
+        allclose(f(m1, x), DA @ x)
+        allclose(f(m2, x), DB @ x)
+        assert len(calls) == 1  # one trace serves both nnz
+
+    def test_grad_through_spmv(self):
+        m = st.from_dense(DA)
+        x = np.arange(1.0, 6.0)
+
+        def loss(data):
+            return st.spmv(m.with_data(data), x).sum()
+
+        g = jax.grad(loss)(m.data)
+        # d(sum(Ax))/d a_ij = x_j at stored positions
+        rows, cols, _ = m.coo_arrays()
+        live = np.asarray(m.live_mask())
+        expect = np.where(live, x[np.minimum(np.asarray(cols), 4)], 0.0)
+        allclose(g, expect)
+
+    def test_jit_spgemm_with_caps(self):
+        a = st.from_dense(DA, cap=16)
+        b = st.from_dense(DB, cap=16)
+
+        @jax.jit
+        def f(a, b):
+            return st.spgemm(
+                a, b, prod_cap=64, out_cap=32, check_capacity=False
+            )
+
+        allclose(f(a, b).to_dense(), DA @ DB)
