@@ -10,7 +10,7 @@ capacity-padded pytrees that compile once and serve any nnz up to
 capacity, scaling over device meshes with shard_map.
 """
 
-from . import ops
+from . import io, linalg, ops, utils
 from .errors import (
     CapacityError,
     LinalgError,

@@ -1,0 +1,49 @@
+"""Solvers: triangular solves, LDLᵀ factorization, orderings, iterative methods."""
+
+from .bicgstab import BiCgStabResult, bicgstab
+from .etree import etree_from_pattern, postorder, tree_levels
+from .iterative import IterativeResult, gauss_seidel, jacobi
+from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
+from .ordering import (
+    OrderingResult,
+    bandwidth,
+    cuthill_mckee,
+    cuthill_mckee_custom,
+    reverse_cuthill_mckee,
+)
+from .trisolve import (
+    TriSchedule,
+    build_schedule,
+    diag_solve,
+    lsolve,
+    lsolve_csc_sparse_rhs,
+    usolve,
+)
+
+__all__ = [
+    "BiCgStabResult",
+    "bicgstab",
+    "etree_from_pattern",
+    "postorder",
+    "tree_levels",
+    "IterativeResult",
+    "gauss_seidel",
+    "jacobi",
+    "FILL_CAMD",
+    "FILL_NONE",
+    "FILL_RCM",
+    "Ldl",
+    "LdlNumeric",
+    "LdlSymbolic",
+    "OrderingResult",
+    "bandwidth",
+    "cuthill_mckee",
+    "cuthill_mckee_custom",
+    "reverse_cuthill_mckee",
+    "TriSchedule",
+    "build_schedule",
+    "diag_solve",
+    "lsolve",
+    "lsolve_csc_sparse_rhs",
+    "usolve",
+]

@@ -1,0 +1,54 @@
+"""Minimum-degree fill-reducing ordering (CAMD-role).
+
+The reference treats CAMD (SuiteSparse's constrained approximate minimum
+degree, suitesparse_bindings/sprs_suitesparse_camd) as an *optional
+upgrade* over RCM for LDLᵀ fill reduction (sprs-ldl/src/lib.rs:148-161).
+This module provides that role with a native C++ minimum-degree ordering
+(quotient-free greedy elimination) plus a numpy fallback; like CAMD it
+is selected via ``Ldl().fill_in_reduction('camd')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import NonSquareMatrixError
+from ..formats.csmat import CsMat
+from ..ops.permutation import Permutation
+
+
+def camd_order(mat: CsMat) -> Permutation:
+    """Minimum-degree permutation of a symmetric pattern."""
+    if mat.shape[0] != mat.shape[1]:
+        raise NonSquareMatrixError("ordering requires a square matrix")
+    csr = mat.to_csr()
+    n = csr.shape[0]
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+
+    from .. import native
+
+    fast = native.min_degree(indptr, indices, n)
+    if fast is not None:
+        return Permutation.from_array(fast.astype(np.int32), check=False)
+
+    # numpy fallback: greedy minimum degree with clique fill-in
+    adj = [set() for _ in range(n)]
+    for i in range(n):
+        for j in indices[indptr[i] : indptr[i + 1]]:
+            if j != i:
+                adj[i].add(int(j))
+    eliminated = np.zeros(n, dtype=bool)
+    perm = np.empty(n, dtype=np.int64)
+    for step in range(n):
+        live = np.flatnonzero(~eliminated)
+        degs = [sum(1 for u in adj[v] if not eliminated[u]) for v in live]
+        v = int(live[int(np.argmin(degs))])
+        perm[step] = v
+        eliminated[v] = True
+        nbrs = [u for u in adj[v] if not eliminated[u]]
+        for a in nbrs:
+            for b in nbrs:
+                if a != b:
+                    adj[a].add(b)
+    return Permutation.from_array(perm.astype(np.int32), check=False)

@@ -178,14 +178,20 @@ def build_schedule(mat: CsMat, *, lower: bool = True) -> TriSchedule:
     n = csr.shape[0]
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices)
-    level = np.zeros(n, dtype=np.int64)
-    order = range(n) if lower else range(n - 1, -1, -1)
-    for i in order:
-        deps = indices[indptr[i] : indptr[i + 1]]
-        deps = deps[deps < i] if lower else deps[deps > i]
-        if deps.size:
-            level[i] = level[deps].max() + 1
-    n_levels = int(level.max()) + 1 if n else 1
+    from .. import native
+
+    fast = native.tri_levels(indptr, indices, n, lower=lower)
+    if fast is not None:
+        level, n_levels = fast
+    else:
+        level = np.zeros(n, dtype=np.int64)
+        order = range(n) if lower else range(n - 1, -1, -1)
+        for i in order:
+            deps = indices[indptr[i] : indptr[i + 1]]
+            deps = deps[deps < i] if lower else deps[deps > i]
+            if deps.size:
+                level[i] = level[deps].max() + 1
+        n_levels = int(level.max()) + 1 if n else 1
     counts = np.bincount(level, minlength=n_levels)
     width = max(int(counts.max()), 1) if n else 1
     rows = np.full((n_levels, width), n, dtype=np.int32)

@@ -1,0 +1,266 @@
+"""Native host library: build, load, and ctypes bindings.
+
+The reference accelerates its host-side symbolic layer with C
+(suitesparse_bindings/suitesparse-src/build.rs compiles vendored
+SuiteSparse).  Here the equivalent C++ (sprs_host.cpp) is compiled on
+first use with the system g++ into a cached shared library and bound
+with ctypes.  Every entry point has a pure-numpy fallback in the Python
+layer, so ``available()`` gates a fast path, never a capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "sprs_host.cpp")
+_LIB_PATH = os.path.join(_DIR, "libsprs_host.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                _SRC,
+                "-o",
+                _LIB_PATH,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=240,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.sprs_etree.argtypes = [_I32P, _I32P, ctypes.c_int64, _I32P]
+    lib.sprs_etree.restype = None
+    lib.sprs_ldl_symbolic.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+        _I32P,
+        _I32P,
+    ]
+    lib.sprs_ldl_symbolic.restype = ctypes.c_int64
+    lib.sprs_ldl_pattern.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+        _I64P,
+        ctypes.c_int64,
+        _I32P,
+        _I64P,
+        _I32P,
+    ]
+    lib.sprs_ldl_pattern.restype = None
+    lib.sprs_rcm.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+        _I64P,
+        ctypes.c_int32,
+    ]
+    lib.sprs_rcm.restype = ctypes.c_int64
+    lib.sprs_tri_levels.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        _I64P,
+    ]
+    lib.sprs_tri_levels.restype = ctypes.c_int64
+    lib.sprs_gauss_seidel.argtypes = [
+        _I32P,
+        _I32P,
+        _F64P,
+        _F64P,
+        _F64P,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sprs_gauss_seidel.restype = ctypes.c_int64
+    lib.sprs_min_degree.argtypes = [_I32P, _I32P, ctypes.c_int64, _I32P]
+    lib.sprs_min_degree.restype = None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed or os.environ.get("SPRS_TPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(_SRC):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+            _lib = lib
+        except OSError:
+            _build_failed = True
+            return None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# typed wrappers (numpy in, numpy out)
+# ---------------------------------------------------------------------------
+
+
+def etree(indptr: np.ndarray, indices: np.ndarray, n: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    parent = np.empty(n, dtype=np.int32)
+    lib.sprs_etree(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        parent,
+    )
+    return parent
+
+
+def ldl_symbolic(row_ptr, row_cols, n):
+    lib = get_lib()
+    if lib is None:
+        return None
+    parent = np.empty(n, dtype=np.int32)
+    col_count = np.empty(n, dtype=np.int32)
+    row_count = np.empty(n, dtype=np.int32)
+    total = lib.sprs_ldl_symbolic(
+        np.ascontiguousarray(row_ptr, np.int32),
+        np.ascontiguousarray(row_cols, np.int32),
+        n,
+        parent,
+        col_count,
+        row_count,
+    )
+    return parent, col_count, row_count, int(total)
+
+
+def ldl_pattern(row_ptr, row_cols, n, parent, l_indptr, wl, lnz):
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_pattern = np.empty((n, wl), dtype=np.int32)
+    insert_pos = np.empty((n, wl), dtype=np.int64)
+    l_indices = np.empty(lnz, dtype=np.int32)
+    lib.sprs_ldl_pattern(
+        np.ascontiguousarray(row_ptr, np.int32),
+        np.ascontiguousarray(row_cols, np.int32),
+        n,
+        np.ascontiguousarray(parent, np.int32),
+        np.ascontiguousarray(l_indptr, np.int64),
+        wl,
+        row_pattern,
+        insert_pos,
+        l_indices,
+    )
+    return row_pattern, insert_pos, l_indices
+
+
+def rcm(indptr, indices, n, reversed_order=True):
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.empty(n, dtype=np.int32)
+    parts = np.empty(n + 1, dtype=np.int64)
+    ncomp = lib.sprs_rcm(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        perm,
+        parts,
+        1 if reversed_order else 0,
+    )
+    return perm, parts[: ncomp + 1].tolist()
+
+
+def tri_levels(indptr, indices, n, lower=True):
+    lib = get_lib()
+    if lib is None:
+        return None
+    level = np.zeros(n, dtype=np.int64)
+    n_levels = lib.sprs_tri_levels(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        1 if lower else 0,
+        level,
+    )
+    return level, int(n_levels)
+
+
+def gauss_seidel(indptr, indices, data, b, x, tol, max_iter):
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    res = ctypes.c_double(0.0)
+    n = x.shape[0]
+    it = lib.sprs_gauss_seidel(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        np.ascontiguousarray(data, np.float64),
+        np.ascontiguousarray(b, np.float64),
+        x,
+        n,
+        tol,
+        max_iter,
+        ctypes.byref(res),
+    )
+    return x, int(it), float(res.value)
+
+
+def min_degree(indptr, indices, n):
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.empty(n, dtype=np.int32)
+    lib.sprs_min_degree(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        perm,
+    )
+    return perm

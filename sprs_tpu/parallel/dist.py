@@ -1,0 +1,392 @@
+"""Distributed sparse kernels over a JAX device mesh.
+
+The reference's only parallelism is rayon shared-memory row-chunking
+inside SpGEMM (/root/reference/sprs/src/sparse/smmp.rs:26-58,196-416:
+even row chunks for the symbolic pass, nnz-balanced re-chunking for the
+numeric pass, fan-out/fan-in).  The TPU-native generalization distributes
+over a device mesh with shard_map + XLA collectives:
+
+* **Row partitioning (1-D)** — each device owns a contiguous row block
+  of the CSR matrix (column indices stay global).  SpMV gathers the
+  needed x (replicated or ``all_gather``-ed over ICI) and reduces
+  locally; SpGEMM runs the ESC kernel on local rows against a replicated
+  (or gathered) B, the direct analog of the reference's row-chunk
+  fan-out.  ``balance="nnz"`` places block boundaries by cumulative nnz —
+  exactly the reference's nnz-balanced chunking (smmp.rs:335-372) turned
+  into a sharding spec.
+* **2-D block partitioning** — mesh axes (rows × cols): device (i, j)
+  owns block (i, j) with *local* column indices; x is sharded over the
+  col axis, partial products are ``psum``-ed over it, y comes out
+  row-sharded.  This is the sparse analog of tensor-parallel matmul and
+  the layout that scales SpMV past one chip's HBM.
+
+Everything here is jittable; shard counts and caps are static.  Tests
+run on a virtual 8-device CPU mesh (XLA_FLAGS
+--xla_force_host_platform_device_count), the analog of the reference's
+fixed-thread-count determinism tests (smmp.rs:491-513).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..errors import ShapeError
+from ..formats.csmat import CSR, CsMat
+from ..formats.util import INDEX_DTYPE
+from ..ops.prod import spmv
+from ..ops.spgemm import spgemm
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# 1-D row partitioning
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistCsMat:
+    """Row-sharded CSR: leaves carry a leading shard axis.
+
+    ``indptr (S, rows_per+1)``, ``indices/data (S, cap_per)``; rows are
+    padded to ``S * rows_per`` (padding rows are empty).  Column indices
+    are global.
+    """
+
+    indptr: jax.Array
+    indices: jax.Array
+    data: jax.Array
+    shape: Tuple[int, int]  # true (unpadded) global shape
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0])
+
+    @property
+    def n_shards(self) -> int:
+        return self.indptr.shape[0]
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.indptr.shape[1] - 1
+
+    @property
+    def cap_per_shard(self) -> int:
+        return self.indices.shape[1]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_shards * self.rows_per_shard
+
+    def local_mat(self, s) -> CsMat:
+        """The CsMat of one shard (shard-local row numbering)."""
+        return CsMat(
+            self.indptr[s],
+            self.indices[s],
+            self.data[s],
+            (self.rows_per_shard, self.shape[1]),
+            CSR,
+        )
+
+    def to_csmat(self) -> CsMat:
+        """Gather back to a single (host-side) CsMat."""
+        from ..ops.construct import vstack
+
+        blocks = [self.local_mat(s) for s in range(self.n_shards)]
+        full = vstack(blocks)
+        return full.slice_outer(0, self.shape[0])
+
+
+def shard_csr_rows(
+    mat: CsMat,
+    n_shards: int,
+    *,
+    balance: str = "rows",
+) -> DistCsMat:
+    """Partition a CSR matrix into ``n_shards`` row blocks (host-side).
+
+    ``balance="rows"``: equal row counts.  ``balance="nnz"``: boundaries
+    chosen by cumulative nnz (smmp.rs:335-372 analog) — still materialized
+    as equal-size padded blocks so shapes stay uniform, but the heavy
+    rows spread evenly.
+    """
+    csr = mat.to_csr()
+    rows, cols = csr.shape
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    nnz = int(csr.nnz)
+
+    rows_per = _cdiv(max(rows, 1), n_shards)
+    if balance == "rows":
+        bounds = [min(s * rows_per, rows) for s in range(n_shards + 1)]
+    elif balance == "nnz":
+        target = np.linspace(0, nnz, n_shards + 1)
+        bounds = [
+            int(np.searchsorted(indptr, t, side="left")) for t in target
+        ]
+        bounds[0], bounds[-1] = 0, rows
+        for s in range(1, n_shards + 1):  # keep monotone
+            bounds[s] = max(bounds[s], bounds[s - 1])
+        rows_per = max(
+            max(bounds[s + 1] - bounds[s] for s in range(n_shards)), 1
+        )
+    else:
+        raise ValueError(f"unknown balance {balance!r}")
+
+    cap_per = max(
+        max(
+            (int(indptr[bounds[s + 1]] - indptr[bounds[s]]) for s in range(n_shards)),
+            default=1,
+        ),
+        1,
+    )
+    ip = np.zeros((n_shards, rows_per + 1), dtype=np.int32)
+    ix = np.zeros((n_shards, cap_per), dtype=np.int32)
+    dt = np.zeros((n_shards, cap_per), dtype=data.dtype)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        nr = hi - lo
+        base = indptr[lo]
+        local_ptr = indptr[lo : hi + 1] - base
+        ip[s, : nr + 1] = local_ptr
+        ip[s, nr + 1 :] = local_ptr[-1]  # padding rows are empty
+        k = int(local_ptr[-1])
+        ix[s, :k] = indices[base : base + k]
+        dt[s, :k] = data[base : base + k]
+    return DistCsMat(
+        jnp.asarray(ip), jnp.asarray(ix), jnp.asarray(dt), (rows, cols)
+    )
+
+
+def dist_spmv(
+    dmat: DistCsMat,
+    x,
+    mesh: Mesh,
+    *,
+    axis: str = "shards",
+    x_sharded: bool = False,
+) -> jax.Array:
+    """y = A @ x with A row-sharded over ``mesh[axis]``.
+
+    With ``x_sharded=True`` the input x is sharded over the same axis
+    and all-gathered over ICI inside the kernel (the halo-exchange path);
+    otherwise x is replicated.  Output is row-sharded (padded length).
+    """
+    x = jnp.asarray(x)
+    if x.shape[0] != dmat.shape[1]:
+        raise ShapeError(f"dist_spmv: A {dmat.shape}, x {x.shape}")
+    rows_per = dmat.rows_per_shard
+    cols = dmat.shape[1]
+
+    if x_sharded:
+        pad = dmat.n_shards * _cdiv(cols, dmat.n_shards) - cols
+        xp = jnp.pad(x, (0, pad))
+
+        def kernel(ip, ix, dt, xs):
+            xg = jax.lax.all_gather(xs, axis, tiled=True)[:cols]
+            local = CsMat(ip[0], ix[0], dt[0], (rows_per, cols), CSR)
+            return spmv(local, xg)
+
+        return jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(dmat.indptr, dmat.indices, dmat.data, xp)
+
+    def kernel(ip, ix, dt, xr):
+        local = CsMat(ip[0], ix[0], dt[0], (rows_per, cols), CSR)
+        return spmv(local, xr)
+
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )(dmat.indptr, dmat.indices, dmat.data, x)
+
+
+def dist_spgemm(
+    dmat: DistCsMat,
+    b: CsMat,
+    mesh: Mesh,
+    *,
+    axis: str = "shards",
+    prod_cap: Optional[int] = None,
+    out_cap: Optional[int] = None,
+) -> DistCsMat:
+    """C = A @ B with A row-sharded, B replicated: each device runs the
+    ESC SpGEMM on its row block (the smmp.rs row-chunk fan-out over
+    devices instead of rayon threads)."""
+    b = b.to_csr()
+    if dmat.shape[1] != b.shape[0]:
+        raise ShapeError(f"dist_spgemm: {dmat.shape} @ {b.shape}")
+    rows_per = dmat.rows_per_shard
+    if prod_cap is None:
+        # host-computed exact per-shard bound, maxed across shards
+        b_lens = np.diff(np.asarray(b.indptr))
+        caps = []
+        for s in range(dmat.n_shards):
+            nnz_s = int(np.asarray(dmat.indptr)[s, -1])
+            idx = np.asarray(dmat.indices)[s, :nnz_s]
+            caps.append(int(b_lens[idx].sum()) if nnz_s else 0)
+        prod_cap = max(max(caps), 1)
+    if out_cap is None:
+        out_cap = prod_cap
+
+    def kernel(ip, ix, dt):
+        local = CsMat(
+            ip[0], ix[0], dt[0], (rows_per, dmat.shape[1]), CSR
+        )
+        c = spgemm(
+            local,
+            b,
+            prod_cap=prod_cap,
+            out_cap=out_cap,
+            check_capacity=False,
+        )
+        return c.indptr[None], c.indices[None], c.data[None]
+
+    cip, cix, cdt = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(dmat.indptr, dmat.indices, dmat.data)
+    return DistCsMat(cip, cix, cdt, (dmat.shape[0], b.shape[1]))
+
+
+# ---------------------------------------------------------------------------
+# 2-D block partitioning
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Dist2DCsMat:
+    """Block-partitioned CSR over an (R, C) mesh.
+
+    Leaves have leading (R, C) axes; block (i, j) stores rows
+    [i·rp, (i+1)·rp) × cols [j·cp, (j+1)·cp) with *local* column ids.
+    """
+
+    indptr: jax.Array  # (R, C, rp+1)
+    indices: jax.Array  # (R, C, cap)
+    data: jax.Array  # (R, C, cap)
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0])
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return self.indptr.shape[0], self.indptr.shape[1]
+
+    @property
+    def rows_per(self) -> int:
+        return self.indptr.shape[2] - 1
+
+
+def shard_csr_2d(mat: CsMat, grid: Tuple[int, int]) -> Tuple[Dist2DCsMat, int]:
+    """Partition into an R×C block grid (host-side).
+
+    Returns the distributed matrix and ``cols_per`` (the local column
+    width each block uses).
+    """
+    csr = mat.to_csr()
+    rows, cols = csr.shape
+    R, C = grid
+    rp = _cdiv(max(rows, 1), R)
+    cp = _cdiv(max(cols, 1), C)
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+
+    # bucket entries per block
+    blocks_ix = [[[] for _ in range(C)] for _ in range(R)]
+    blocks_dt = [[[] for _ in range(C)] for _ in range(R)]
+    blocks_rw = [[[] for _ in range(C)] for _ in range(R)]
+    for i in range(rows):
+        bi = i // rp
+        for p in range(indptr[i], indptr[i + 1]):
+            j = int(indices[p])
+            bj = j // cp
+            blocks_ix[bi][bj].append(j - bj * cp)
+            blocks_dt[bi][bj].append(data[p])
+            blocks_rw[bi][bj].append(i - bi * rp)
+    cap = max(
+        max((len(blocks_ix[i][j]) for i in range(R) for j in range(C)), default=1),
+        1,
+    )
+    ip = np.zeros((R, C, rp + 1), dtype=np.int32)
+    ix = np.zeros((R, C, cap), dtype=np.int32)
+    dt = np.zeros((R, C, cap), dtype=data.dtype)
+    for i in range(R):
+        for j in range(C):
+            k = len(blocks_ix[i][j])
+            counts = np.bincount(
+                np.asarray(blocks_rw[i][j], dtype=np.int64), minlength=rp
+            ) if k else np.zeros(rp, np.int64)
+            ip[i, j, 1:] = np.cumsum(counts)
+            ix[i, j, :k] = blocks_ix[i][j]
+            dt[i, j, :k] = blocks_dt[i][j]
+    d = Dist2DCsMat(
+        jnp.asarray(ip), jnp.asarray(ix), jnp.asarray(dt), (rows, cols)
+    )
+    return d, cp
+
+
+def dist_spmv_2d(
+    dmat: Dist2DCsMat,
+    cols_per: int,
+    x,
+    mesh: Mesh,
+    *,
+    row_axis: str = "r",
+    col_axis: str = "c",
+) -> jax.Array:
+    """2-D SpMV: x sharded over the col axis, local block SpMV, psum over
+    cols → y sharded over the row axis (tensor-parallel layout)."""
+    x = jnp.asarray(x)
+    if x.shape[0] != dmat.shape[1]:
+        raise ShapeError(f"dist_spmv_2d: A {dmat.shape}, x {x.shape}")
+    R, C = dmat.grid
+    rp = dmat.rows_per
+    xp = jnp.pad(x, (0, C * cols_per - x.shape[0]))
+
+    def kernel(ip, ix, dt, xs):
+        local = CsMat(
+            ip[0, 0], ix[0, 0], dt[0, 0], (rp, cols_per), CSR
+        )
+        partial = spmv(local, xs)
+        return jax.lax.psum(partial, col_axis)[None]
+
+    y = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(
+            P(row_axis, col_axis),
+            P(row_axis, col_axis),
+            P(row_axis, col_axis),
+            P(col_axis),
+        ),
+        out_specs=P(row_axis, None),
+    )(dmat.indptr, dmat.indices, dmat.data, xp)
+    return y.reshape(-1)

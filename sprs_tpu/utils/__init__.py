@@ -1,0 +1,16 @@
+"""Utilities: fixtures, special matrices, random generation, visualization."""
+
+from . import fixtures
+from .rand import rand_csr
+from .special import grid_laplacian, tri_mesh_graph_laplacian
+from .visu import nnz_image, nnz_pattern, nnz_pattern_str
+
+__all__ = [
+    "fixtures",
+    "rand_csr",
+    "grid_laplacian",
+    "tri_mesh_graph_laplacian",
+    "nnz_image",
+    "nnz_pattern",
+    "nnz_pattern_str",
+]

@@ -8,7 +8,9 @@ hardware.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment presets JAX_PLATFORMS=axon (real TPU via a
+# single-tenant tunnel); tests must not depend on or monopolize it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,29 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Drop every non-CPU backend factory before first use: the environment's
+# sitecustomize registers a TPU PJRT plugin that dials a single-tenant
+# network tunnel at backend-discovery time (even under JAX_PLATFORMS=cpu),
+# making tests minutes-slow or deadlock-prone.  Tests are CPU-only by
+# design; the TPU is for bench.py.
+try:
+    from jax._src import xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name != "cpu":
+            _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass
+
+# sitecustomize imports jax before conftest runs, so the env var above
+# may be too late — pin the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: this box has one CPU core and the test
+# suite is compile-bound; caching across runs cuts reruns from ~20 min
+# to ~2 min.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
