@@ -21,10 +21,30 @@ from .csvec import (
     csvec_from_unsorted,
     empty_csvec,
 )
+from .bsr import BsrMat, bsr_from_csmat, bsr_from_dense, bsr_random, bsr_spmm_xla
+from .ell import (
+    EllMat,
+    ell_from_csmat,
+    ell_overhead,
+    ell_spmm,
+    ell_spmv,
+    ell_to_csmat,
+)
 from .triplet import TriMat, coo_to_csmat
 from .util import compress_coo, INDEX_DTYPE
 
 __all__ = [
+    "BsrMat",
+    "EllMat",
+    "bsr_from_csmat",
+    "bsr_from_dense",
+    "bsr_random",
+    "bsr_spmm_xla",
+    "ell_from_csmat",
+    "ell_overhead",
+    "ell_spmm",
+    "ell_spmv",
+    "ell_to_csmat",
     "CSC",
     "CSR",
     "CsMat",

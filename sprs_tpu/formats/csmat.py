@@ -189,6 +189,18 @@ class CsMat:
         )
         return out if self.is_csr else out.T
 
+    def to_ell(self, *, width: Optional[int] = None) -> "EllMat":
+        """Convert to the TPU-friendly ELL layout (see formats/ell.py)."""
+        from .ell import ell_from_csmat
+
+        return ell_from_csmat(self.to_csr(), width=width)
+
+    def to_bsr(self, block_size: int = 128) -> "BsrMat":
+        """Convert to the MXU-native block-sparse layout (formats/bsr.py)."""
+        from .bsr import bsr_from_csmat
+
+        return bsr_from_csmat(self, block_size)
+
     def to_scipy(self):
         """Host-side scipy.sparse twin (for tests/interop)."""
         import scipy.sparse as sp

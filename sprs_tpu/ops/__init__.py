@@ -36,6 +36,7 @@ from .permutation import (
 from .prod import dense_matmul_sparse, spmm, spmv
 from .spgemm import spgemm
 from .symmetry import is_symmetric
+from . import pallas
 
 __all__ = [
     "matmul",

@@ -1,0 +1,24 @@
+"""Pallas TPU kernels for the hot ops.
+
+Two kernel families, each with an XLA twin that serves as correctness
+oracle and portable fallback:
+
+* :func:`ell_spmv_pallas` — row-blocked unstructured SpMV over the ELL
+  format (VPU gather + reduce, x resident in VMEM).  XLA twin:
+  :func:`sprs_tpu.formats.ell.ell_spmv`.
+* :func:`bsr_spmm_pallas` / :func:`bsr_spmv_pallas` — grouped-matmul
+  block-sparse SpMM on the MXU with scalar-prefetched block coordinates.
+  XLA twin: :func:`sprs_tpu.formats.bsr.bsr_spmm_xla`.
+
+Both run in interpreter mode on any backend (``interpret=True``), which
+is how the CPU test suite exercises them.
+"""
+
+from .bsr_spmm import bsr_spmm_pallas, bsr_spmv_pallas
+from .spmv import ell_spmv_pallas
+
+__all__ = [
+    "bsr_spmm_pallas",
+    "bsr_spmv_pallas",
+    "ell_spmv_pallas",
+]

@@ -19,6 +19,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Import pallas (and its checkify dependency) while the TPU platform is
+# still registered: they register TPU MLIR lowerings at import time and
+# fail if "tpu" is no longer a known platform after the factory pop below.
+# Importing does NOT initialize the backend (no tunnel dialing).
+import jax.experimental.pallas  # noqa: E402,F401
+
+try:
+    import jax.experimental.pallas.tpu  # noqa: E402,F401
+except Exception:
+    pass
+
 # Drop every non-CPU backend factory before first use: the environment's
 # sitecustomize registers a TPU PJRT plugin that dials a single-tenant
 # network tunnel at backend-discovery time (even under JAX_PLATFORMS=cpu),

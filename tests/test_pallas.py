@@ -1,0 +1,217 @@
+"""ELL/BSR formats and the Pallas kernels (interpreter mode on CPU).
+
+Dense-oracle discipline per SURVEY §4: every sparse result is compared
+against the dense computation of the same expression.  The Pallas kernels
+run with ``interpret=True`` here (compiled TPU execution is covered by
+bench.py on hardware); the XLA twins run compiled.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.formats.bsr import bsr_from_dense, bsr_spmm_xla
+from sprs_tpu.formats.ell import (
+    ell_from_csmat,
+    ell_overhead,
+    ell_spmm,
+    ell_spmv,
+    ell_to_csmat,
+)
+from sprs_tpu.ops.pallas import (
+    bsr_spmm_pallas,
+    bsr_spmv_pallas,
+    ell_spmv_pallas,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def random_sparse(r, c, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    dense = rng.standard_normal((r, c))
+    dense[rng.random((r, c)) > density] = 0.0
+    return dense.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# ELL format
+# ---------------------------------------------------------------------------
+
+
+class TestEll:
+    def test_roundtrip_dense(self):
+        d = random_sparse(13, 9, 0.3, seed=1)
+        ell = st.from_dense(d).to_ell()
+        np.testing.assert_allclose(np.asarray(ell.to_dense()), d)
+
+    def test_roundtrip_csmat(self):
+        d = random_sparse(10, 17, 0.25, seed=2)
+        m = st.from_dense(d)
+        back = ell_to_csmat(ell_from_csmat(m))
+        back.check_structure()
+        np.testing.assert_allclose(np.asarray(back.to_dense()), d)
+
+    def test_empty_rows(self):
+        d = np.zeros((6, 4), np.float32)
+        d[2, 1] = 3.0
+        ell = st.from_dense(d).to_ell()
+        np.testing.assert_allclose(np.asarray(ell.to_dense()), d)
+
+    def test_spmv_oracle(self):
+        d = random_sparse(33, 21, 0.3, seed=3)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(21).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ell_spmv(ell, x)), d @ x, rtol=1e-5
+        )
+
+    def test_spmv_jit(self):
+        d = random_sparse(16, 16, 0.3, seed=4)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(16).astype(np.float32)
+        y = jax.jit(ell_spmv)(ell, x)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-5)
+
+    def test_spmm_oracle(self):
+        d = random_sparse(12, 20, 0.25, seed=5)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal((20, 7)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ell_spmm(ell, x)), d @ x, rtol=1e-5
+        )
+
+    def test_spmv_grad(self):
+        d = random_sparse(8, 8, 0.4, seed=6)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(8).astype(np.float32)
+        g = jax.grad(lambda x: jnp.sum(ell_spmv(ell, x) ** 2))(x)
+        expected = 2 * d.T @ (d @ x)
+        np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-4)
+
+    def test_overhead_metric(self):
+        m = st.from_dense(np.eye(8, dtype=np.float32))
+        assert ell_overhead(m) == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas ELL SpMV (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+class TestEllPallas:
+    def test_matches_dense(self):
+        d = random_sparse(64, 48, 0.2, seed=7)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(48).astype(np.float32)
+        y = ell_spmv_pallas(ell, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-5)
+
+    def test_rows_not_multiple_of_block(self):
+        d = random_sparse(37, 11, 0.3, seed=8)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(11).astype(np.float32)
+        y = ell_spmv_pallas(ell, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-5)
+
+    def test_custom_vjp(self):
+        d = random_sparse(24, 16, 0.3, seed=9)
+        ell = st.from_dense(d).to_ell()
+        x = RNG.standard_normal(16).astype(np.float32)
+
+        def loss(data, x):
+            e = type(ell)(ell.indices, data, ell.shape)
+            return jnp.sum(ell_spmv_pallas(e, x, interpret=True) ** 2)
+
+        gd, gx = jax.grad(loss, argnums=(0, 1))(ell.data, x)
+        # oracle via the differentiable XLA path
+        def loss_x(data, x):
+            e = type(ell)(ell.indices, data, ell.shape)
+            return jnp.sum(ell_spmv(e, x) ** 2)
+
+        gd0, gx0 = jax.grad(loss_x, argnums=(0, 1))(ell.data, x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gd0), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# BSR format + kernels
+# ---------------------------------------------------------------------------
+
+
+def random_block_dense(rbr, rbc, bs, block_density, seed):
+    rng = np.random.default_rng(seed)
+    keep = rng.random((rbr, rbc)) < block_density
+    dense = np.zeros((rbr * bs, rbc * bs), np.float32)
+    for i, j in zip(*np.nonzero(keep)):
+        dense[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs] = (
+            rng.standard_normal((bs, bs))
+        )
+    return dense
+
+
+class TestBsr:
+    def test_roundtrip(self):
+        d = random_block_dense(3, 4, 8, 0.5, seed=10)
+        b = bsr_from_dense(d, 8)
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+
+    def test_unaligned_shape(self):
+        d = random_block_dense(3, 3, 8, 0.6, seed=11)[:20, :19]
+        b = bsr_from_dense(d, 8)
+        assert b.shape == (20, 19)
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+
+    def test_empty_rows_get_zero_block(self):
+        d = np.zeros((16, 16), np.float32)
+        d[0, 0] = 1.0  # only block row 0 nonzero
+        b = bsr_from_dense(d, 8)
+        assert b.n_blocks == 2  # one real + one explicit zero block
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+
+    def test_spmm_xla_oracle(self):
+        d = random_block_dense(4, 3, 8, 0.5, seed=12)
+        b = bsr_from_dense(d, 8)
+        x = RNG.standard_normal((24, 5)).astype(np.float32)
+        y = jax.jit(bsr_spmm_xla)(b, x)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_spmm_pallas_matches(self):
+        d = random_block_dense(4, 4, 8, 0.4, seed=13)
+        b = bsr_from_dense(d, 8)
+        x = RNG.standard_normal((32, 16)).astype(np.float32)
+        y = bsr_spmm_pallas(b, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_spmv_pallas(self):
+        d = random_block_dense(3, 3, 8, 0.6, seed=14)
+        b = bsr_from_dense(d, 8)
+        x = RNG.standard_normal(24).astype(np.float32)
+        y = bsr_spmv_pallas(b, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_spmm_pallas_grad(self):
+        d = random_block_dense(2, 2, 8, 1.0, seed=15)
+        b = bsr_from_dense(d, 8)
+        x = RNG.standard_normal((16, 8)).astype(np.float32)
+
+        def loss(blocks, x):
+            bb = type(b)(b.brows, b.bcols, blocks, b.shape, b.n_blocks)
+            return jnp.sum(bsr_spmm_pallas(bb, x, interpret=True) ** 2)
+
+        gb, gx = jax.grad(loss, argnums=(0, 1))(b.blocks, x)
+
+        def loss_o(blocks, x):
+            bb = type(b)(b.brows, b.bcols, blocks, b.shape, b.n_blocks)
+            return jnp.sum(bsr_spmm_xla(bb, x) ** 2)
+
+        gb0, gx0 = jax.grad(loss_o, argnums=(0, 1))(b.blocks, x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb0), rtol=1e-3)
+
+    def test_from_csmat(self):
+        d = random_sparse(20, 20, 0.1, seed=16)
+        b = st.from_dense(d).to_bsr(8)
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
