@@ -22,6 +22,7 @@ from .csvec import (
     empty_csvec,
 )
 from .bsr import BsrMat, bsr_from_csmat, bsr_from_dense, bsr_random, bsr_spmm_xla
+from .dia import DiaMat, dia_from_csmat, dia_spmm, dia_spmv, n_diags_of
 from .ell import (
     EllMat,
     ell_from_csmat,
@@ -35,7 +36,12 @@ from .util import compress_coo, INDEX_DTYPE
 
 __all__ = [
     "BsrMat",
+    "DiaMat",
     "EllMat",
+    "dia_from_csmat",
+    "dia_spmm",
+    "dia_spmv",
+    "n_diags_of",
     "bsr_from_csmat",
     "bsr_from_dense",
     "bsr_random",

@@ -201,6 +201,12 @@ class CsMat:
 
         return bsr_from_csmat(self, block_size)
 
+    def to_dia(self, *, max_diags: Optional[int] = None) -> "DiaMat":
+        """Convert to diagonal storage for banded SpMV (formats/dia.py)."""
+        from .dia import dia_from_csmat
+
+        return dia_from_csmat(self, max_diags=max_diags)
+
     def to_scipy(self):
         """Host-side scipy.sparse twin (for tests/interop)."""
         import scipy.sparse as sp

@@ -9,16 +9,21 @@ oracle and portable fallback:
 * :func:`bsr_spmm_pallas` / :func:`bsr_spmv_pallas` — grouped-matmul
   block-sparse SpMM on the MXU with scalar-prefetched block coordinates.
   XLA twin: :func:`sprs_tpu.formats.bsr.bsr_spmm_xla`.
+* :func:`dia_spmv_pallas` — shifted-slice diagonal SpMV for banded
+  matrices (grid Laplacians, RCM-ordered systems); no gathers at all.
+  XLA twin: :func:`sprs_tpu.formats.dia.dia_spmv`.
 
 Both run in interpreter mode on any backend (``interpret=True``), which
 is how the CPU test suite exercises them.
 """
 
 from .bsr_spmm import bsr_spmm_pallas, bsr_spmv_pallas
+from .dia_spmv import dia_spmv_pallas
 from .spmv import ell_spmv_pallas
 
 __all__ = [
     "bsr_spmm_pallas",
     "bsr_spmv_pallas",
+    "dia_spmv_pallas",
     "ell_spmv_pallas",
 ]

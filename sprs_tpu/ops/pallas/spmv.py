@@ -121,17 +121,45 @@ def _bwd(shape, interpret, res, g):
 _ell_spmv_pallas.defvjp(_fwd, _bwd)
 
 
+_COMPILED_GATHER = None
+
+
+def _compiled_gather_supported() -> bool:
+    """Probe (once per process) whether Mosaic can lower this kernel's
+    gather.  As of this JAX, ``tpu.dynamic_gather`` only accepts
+    same-shape 2-D take_along_axis patterns, so the arbitrary ELL gather
+    fails to compile on TPU; banded matrices should use the DIA kernel
+    (ops/pallas/dia_spmv.py) instead, which needs no gather at all.
+    """
+    global _COMPILED_GATHER
+    if _COMPILED_GATHER is None:
+        try:
+            import numpy as np
+
+            idx = jnp.zeros((8, 8), jnp.int32)
+            dat = jnp.zeros((8, 8), jnp.float32)
+            xs = jnp.zeros((16,), jnp.float32)
+            np.asarray(_ell_spmv_pallas(idx, dat, xs, (8, 16), False))
+            _COMPILED_GATHER = True
+        except Exception:
+            _COMPILED_GATHER = False
+    return _COMPILED_GATHER
+
+
 def ell_spmv_pallas(
     ell: EllMat, x: jax.Array, *, interpret: bool = False
 ) -> jax.Array:
     """y = A @ x with the Pallas row-blocked kernel.
 
-    Falls back to the XLA ELL path when ``x`` would not fit in VMEM.
+    Falls back to the XLA ELL path when ``x`` would not fit in VMEM or
+    when the backend cannot lower the gather (probed once).
     ``interpret=True`` runs the kernel in interpreter mode (any backend),
     used by the CPU test suite.
     """
     x = jnp.asarray(x)
     if x.size * x.dtype.itemsize > _X_VMEM_BYTES:
+        return ell_spmv(ell, x)
+    if not interpret and not _compiled_gather_supported():
         return ell_spmv(ell, x)
     return _ell_spmv_pallas(
         ell.indices, ell.data, x, ell.shape, interpret

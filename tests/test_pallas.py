@@ -20,9 +20,11 @@ from sprs_tpu.formats.ell import (
     ell_spmv,
     ell_to_csmat,
 )
+from sprs_tpu.formats.dia import dia_from_csmat, dia_spmm, dia_spmv, n_diags_of
 from sprs_tpu.ops.pallas import (
     bsr_spmm_pallas,
     bsr_spmv_pallas,
+    dia_spmv_pallas,
     ell_spmv_pallas,
 )
 
@@ -215,3 +217,97 @@ class TestBsr:
         d = random_sparse(20, 20, 0.1, seed=16)
         b = st.from_dense(d).to_bsr(8)
         np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+
+
+# ---------------------------------------------------------------------------
+# DIA format + kernel
+# ---------------------------------------------------------------------------
+
+
+def banded_dense(n, offsets, seed):
+    rng = np.random.default_rng(seed)
+    d = np.zeros((n, n), np.float32)
+    for off in offsets:
+        v = rng.standard_normal(n).astype(np.float32)
+        for i in range(n):
+            j = i + off
+            if 0 <= j < n:
+                d[i, j] = v[i]
+    return d
+
+
+class TestDia:
+    OFFS = (-5, -1, 0, 1, 5)
+
+    def test_roundtrip(self):
+        d = banded_dense(23, self.OFFS, seed=20)
+        dia = st.from_dense(d).to_dia()
+        assert dia.offsets == self.OFFS
+        np.testing.assert_allclose(np.asarray(dia.to_dense()), d)
+
+    def test_laplacian_offsets(self):
+        lap = st.utils.grid_laplacian((5, 7), dtype=np.float64)
+        dia = lap.to_dia()
+        assert dia.offsets == (-7, -1, 0, 1, 7)
+        np.testing.assert_allclose(
+            np.asarray(dia.to_dense()), np.asarray(lap.to_dense())
+        )
+
+    def test_spmv_oracle(self):
+        d = banded_dense(40, self.OFFS, seed=21)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(40).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(dia_spmv)(dia, x)), d @ x, rtol=1e-4
+        )
+
+    def test_spmm_oracle(self):
+        d = banded_dense(24, self.OFFS, seed=22)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal((24, 6)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(dia_spmm(dia, x)), d @ x, rtol=1e-4
+        )
+
+    def test_rectangular(self):
+        d = np.zeros((6, 9), np.float32)
+        for i in range(6):
+            d[i, i] = 1.0 + i
+            d[i, i + 3] = -1.0
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(9).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(dia.to_dense()), d)
+        np.testing.assert_allclose(
+            np.asarray(dia_spmv(dia, x)), d @ x, rtol=1e-4
+        )
+
+    def test_max_diags_guard(self):
+        d = random_sparse(12, 12, 0.8, seed=23)
+        with pytest.raises(st.ShapeError):
+            st.from_dense(d).to_dia(max_diags=3)
+        assert n_diags_of(st.from_dense(d)) > 3
+
+    def test_pallas_matches(self):
+        d = banded_dense(64, self.OFFS, seed=24)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(64).astype(np.float32)
+        y = dia_spmv_pallas(dia, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_pallas_vjp(self):
+        d = banded_dense(32, (-1, 0, 2), seed=25)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(32).astype(np.float32)
+
+        def loss_p(data, x):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum(dia_spmv_pallas(m, x, interpret=True) ** 2)
+
+        def loss_o(data, x):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum(dia_spmv(m, x) ** 2)
+
+        gd, gx = jax.grad(loss_p, argnums=(0, 1))(dia.data, x)
+        gd0, gx0 = jax.grad(loss_o, argnums=(0, 1))(dia.data, x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gd0), rtol=1e-4)
