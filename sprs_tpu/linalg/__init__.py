@@ -4,6 +4,7 @@ from .bicgstab import BiCgStabResult, bicgstab
 from .etree import etree_from_pattern, postorder, tree_levels
 from .iterative import IterativeResult, gauss_seidel, jacobi
 from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
+from .lu import SpLu, splu
 from .ordering import (
     OrderingResult,
     bandwidth,
@@ -35,6 +36,8 @@ __all__ = [
     "Ldl",
     "LdlNumeric",
     "LdlSymbolic",
+    "SpLu",
+    "splu",
     "OrderingResult",
     "bandwidth",
     "cuthill_mckee",

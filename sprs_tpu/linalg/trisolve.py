@@ -52,12 +52,26 @@ def _check_rhs(mat: CsMat, b) -> jax.Array:
 
 
 def _host_diag_check(mat: CsMat):
-    if is_concrete(mat.indptr, mat.data):
-        d = np.asarray(mat.diag())
-        if np.any(d == 0):
-            raise SingularMatrixError(
-                f"zero diagonal at index {int(np.argmax(d == 0))}"
-            )
+    """Host-only singularity check.  Pure numpy: even on concrete
+    operands, jnp ops stage tracers when called inside an enclosing jit
+    trace, so the device ``mat.diag()`` cannot be used here."""
+    if not is_concrete(mat.indptr, mat.data):
+        return
+    indptr = np.asarray(mat.indptr)
+    nnz = int(indptr[-1])
+    indices = np.asarray(mat.indices)[:nnz]
+    data = np.asarray(mat.data)[:nnz]
+    outer = np.repeat(
+        np.arange(mat.outer_dims, dtype=np.int64), np.diff(indptr)
+    )
+    k = min(mat.shape)
+    diag = np.zeros(k, dtype=data.dtype)
+    on_diag = (outer == indices) & (outer < k)
+    np.add.at(diag, outer[on_diag], data[on_diag])
+    if np.any(diag == 0):
+        raise SingularMatrixError(
+            f"zero diagonal at index {int(np.argmax(diag == 0))}"
+        )
 
 
 def diag_solve(mat: CsMat, b) -> jax.Array:

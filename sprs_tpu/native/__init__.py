@@ -109,6 +109,23 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sprs_gauss_seidel.restype = ctypes.c_int64
     lib.sprs_min_degree.argtypes = [_I32P, _I32P, ctypes.c_int64, _I32P]
     lib.sprs_min_degree.restype = None
+    lib.sprs_lu.argtypes = [
+        _I32P,
+        _I32P,
+        _F64P,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_int64,
+        _I64P,
+        _I32P,
+        _F64P,
+        _I64P,
+        _I32P,
+        _F64P,
+        _I32P,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.sprs_lu.restype = ctypes.c_int64
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -264,3 +281,60 @@ def min_degree(indptr, indices, n):
         perm,
     )
     return perm
+
+
+def lu(indptr, indices, data, n, pivot_threshold):
+    """Gilbert–Peierls LU with threshold partial pivoting.
+
+    Returns (l_indptr, l_indices, l_data, u_indptr, u_indices, u_data,
+    perm_r) or None when the native library is unavailable.  Raises
+    SingularMatrixError-compatible ValueError on singular columns (the
+    caller translates).  Retries with doubled capacity on overflow.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    cap = max(4 * len(indices) + 4 * n + 16, 64)
+    for _ in range(20):
+        l_indptr = np.zeros(n + 1, dtype=np.int64)
+        u_indptr = np.zeros(n + 1, dtype=np.int64)
+        l_indices = np.empty(cap, dtype=np.int32)
+        l_data = np.empty(cap, dtype=np.float64)
+        u_indices = np.empty(cap, dtype=np.int32)
+        u_data = np.empty(cap, dtype=np.float64)
+        perm_r = np.empty(n, dtype=np.int32)
+        err = ctypes.c_int64(-1)
+        ret = lib.sprs_lu(
+            indptr,
+            indices,
+            data,
+            n,
+            float(pivot_threshold),
+            cap,
+            l_indptr,
+            l_indices,
+            l_data,
+            u_indptr,
+            u_indices,
+            u_data,
+            perm_r,
+            ctypes.byref(err),
+        )
+        if ret == 0:
+            lnnz, unnz = int(l_indptr[-1]), int(u_indptr[-1])
+            return (
+                l_indptr,
+                l_indices[:lnnz],
+                l_data[:lnnz],
+                u_indptr,
+                u_indices[:unnz],
+                u_data[:unnz],
+                perm_r,
+            )
+        if ret == -2:
+            raise ValueError(f"singular:{int(err.value)}")
+        cap *= 2
+    raise MemoryError("sprs_lu: capacity growth did not converge")

@@ -337,4 +337,178 @@ void sprs_min_degree(const int32_t* indptr, const int32_t* indices, int64_t n,
   }
 }
 
+// Sparse LU with threshold partial pivoting (left-looking
+// Gilbert–Peierls).  Native twin of the Python reference in
+// sprs_tpu/linalg/lu.py (which mirrors the role of the reference's
+// UMFPACK binding, sprs_suitesparse_umfpack/src/lib.rs:48-120).
+//
+// Input: CSC (indptr/indices/data), n, pivot threshold in [0,1]
+// (1 = strict partial pivoting; <1 prefers the diagonal when within
+// threshold*colmax).  Output: L CSC with unit diagonal stored first per
+// column and off-diagonal rows in pivot-position space; U CSC with rows
+// sorted ascending, diagonal last.  perm_r[k] = original row pivoted to
+// position k.  cap bounds each of L and U; returns 0 on success, -1 if
+// cap is insufficient (caller re-runs with a larger cap), -2 on a
+// singular column (err_col set).
+int64_t sprs_lu(const int32_t* indptr, const int32_t* indices,
+                const double* data, int64_t n, double pivot_threshold,
+                int64_t cap, int64_t* l_indptr, int32_t* l_indices,
+                double* l_data, int64_t* u_indptr, int32_t* u_indices,
+                double* u_data, int32_t* perm_r, int64_t* err_col) {
+  std::vector<int64_t> pinv(n, -1);
+  std::vector<double> x(n, 0.0);
+  std::vector<char> visited(n, 0);
+  std::vector<int32_t> topo;
+  topo.reserve(n);
+  // DFS work stacks (iterative, like the reference's DStack trisolve,
+  // trisolve.rs:286-358)
+  std::vector<int32_t> st_node;
+  std::vector<int64_t> st_it;
+  std::vector<std::pair<int64_t, double>> ucol;
+
+  l_indptr[0] = 0;
+  u_indptr[0] = 0;
+  int64_t lpos = 0, upos = 0;
+
+  for (int64_t k = 0; k < n; ++k) {
+    topo.clear();
+    // --- symbolic: reach of A[:,k] through pivoted L columns ---------
+    for (int64_t p = indptr[k]; p < indptr[k + 1]; ++p) {
+      int32_t s = indices[p];
+      if (visited[s]) continue;
+      visited[s] = 1;
+      st_node.assign(1, s);
+      st_it.assign(1, 0);
+      while (!st_node.empty()) {
+        int32_t node = st_node.back();
+        int64_t it = st_it.back();
+        int64_t j = pinv[node];
+        bool pushed = false;
+        if (j >= 0) {
+          // off-diag entries of L column j (skip stored unit diag)
+          int64_t lo = l_indptr[j] + 1, hi = l_indptr[j + 1];
+          while (lo + it < hi) {
+            int32_t nxt = l_indices[lo + it];
+            ++it;
+            if (!visited[nxt]) {
+              visited[nxt] = 1;
+              st_it.back() = it;
+              st_node.push_back(nxt);
+              st_it.push_back(0);
+              pushed = true;
+              break;
+            }
+          }
+        }
+        if (!pushed) {
+          topo.push_back(node);
+          st_node.pop_back();
+          st_it.pop_back();
+        }
+      }
+    }
+    // topo is in reverse topological order; iterate from the back.
+
+    // --- numeric: x = A[:,k]; eliminate pivoted nodes in topo order --
+    for (int64_t p = indptr[k]; p < indptr[k + 1]; ++p)
+      x[indices[p]] = data[p];
+    for (int64_t t = (int64_t)topo.size() - 1; t >= 0; --t) {
+      int32_t node = topo[t];
+      int64_t j = pinv[node];
+      if (j < 0) continue;
+      double xj = x[node];
+      if (xj == 0.0) continue;
+      int64_t lo = l_indptr[j] + 1, hi = l_indptr[j + 1];
+      for (int64_t q = lo; q < hi; ++q) x[l_indices[q]] -= l_data[q] * xj;
+    }
+
+    // --- pivot selection --------------------------------------------
+    double max_abs = 0.0;
+    int32_t pivot = -1;
+    for (int64_t t = (int64_t)topo.size() - 1; t >= 0; --t) {
+      int32_t node = topo[t];
+      if (pinv[node] >= 0) continue;
+      double a = std::fabs(x[node]);
+      if (a > max_abs) {
+        max_abs = a;
+        pivot = node;
+      }
+    }
+    if (pivot < 0 || max_abs == 0.0) {
+      *err_col = k;
+      return -2;
+    }
+    if (pivot_threshold < 1.0 && k < n && pinv[k] < 0 && visited[k] &&
+        std::fabs(x[k]) >= pivot_threshold * max_abs)
+      pivot = (int32_t)k;
+    double pv = x[pivot];
+    pinv[pivot] = k;
+    perm_r[k] = pivot;
+
+    // --- emit U column (pivoted rows, sorted; diag last) and L column
+    ucol.clear();
+    int64_t l_start = lpos;
+    if (lpos >= cap) return -1;
+    l_indices[lpos] = pivot;  // unit diag placeholder (renumbered later)
+    l_data[lpos] = 1.0;
+    ++lpos;
+    for (int64_t t = (int64_t)topo.size() - 1; t >= 0; --t) {
+      int32_t node = topo[t];
+      visited[node] = 0;
+      double v = x[node];
+      x[node] = 0.0;
+      if (node == pivot || v == 0.0) continue;
+      int64_t j = pinv[node];
+      if (j >= 0 && j < k) {
+        ucol.emplace_back(j, v);
+      } else if (j < 0) {
+        if (lpos >= cap) {
+          // clear remaining marks before bailing
+          while (t > 0) {
+            --t;
+            visited[topo[t]] = 0;
+            x[topo[t]] = 0.0;
+          }
+          return -1;
+        }
+        l_indices[lpos] = node;  // original row id; renumbered later
+        l_data[lpos] = v / pv;
+        ++lpos;
+      }
+    }
+    std::sort(ucol.begin(), ucol.end());
+    if (upos + (int64_t)ucol.size() + 1 > cap) return -1;
+    for (auto& rv : ucol) {
+      u_indices[upos] = (int32_t)rv.first;
+      u_data[upos] = rv.second;
+      ++upos;
+    }
+    u_indices[upos] = (int32_t)k;
+    u_data[upos] = pv;
+    ++upos;
+    (void)l_start;
+    l_indptr[k + 1] = lpos;
+    u_indptr[k + 1] = upos;
+  }
+
+  // Renumber L's off-diagonal rows into pivot-position space and sort
+  // each column's (row, value) pairs (all rows are pivoted by now).
+  {
+    std::vector<std::pair<int32_t, double>> buf;
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t lo = l_indptr[k] + 1, hi = l_indptr[k + 1];
+      buf.clear();
+      for (int64_t q = lo; q < hi; ++q)
+        buf.emplace_back((int32_t)pinv[l_indices[q]], l_data[q]);
+      std::sort(buf.begin(), buf.end());
+      for (int64_t q = lo; q < hi; ++q) {
+        l_indices[q] = buf[q - lo].first;
+        l_data[q] = buf[q - lo].second;
+      }
+      l_indices[l_indptr[k]] = (int32_t)k;  // unit diag in pivot space
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
