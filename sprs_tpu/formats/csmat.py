@@ -269,6 +269,106 @@ class CsMat:
         out = jnp.zeros((k,), dtype=self.data.dtype)
         return out.at[idx].add(self.data * on_diag, mode="drop")
 
+    def to_inner_onehot(self) -> "CsMat":
+        """One entry of value 1 per populated outer vector, at the inner
+        index of that vector's maximum stored value (csmat.rs:1017-1056;
+        NaNs ignored).  Ties pick the first maximum (the reference picks
+        the last).  Jittable; output capacity = outer_dims.
+        """
+        n_outer = self.outer_dims
+        outer = self.outer_ids()
+        outer_c = jnp.minimum(outer, n_outer - 1)
+        neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+        ok = self.live_mask() & ~jnp.isnan(self.data)
+        vals = jnp.where(ok, self.data.astype(jnp.float32), neg_inf)
+        best = jnp.full((n_outer,), -jnp.inf, jnp.float32)
+        best = best.at[outer].max(vals, mode="drop")
+        pos = jnp.arange(self.cap, dtype=INDEX_DTYPE)
+        is_best = ok & (vals == best[outer_c])
+        first = jnp.full((n_outer,), self.cap, INDEX_DTYPE)
+        first = first.at[outer].min(
+            jnp.where(is_best, pos, self.cap), mode="drop"
+        )
+        has = first < self.cap
+        first_c = jnp.minimum(first, self.cap - 1)
+        hot_inner = jnp.where(has, self.indices[first_c], 0)
+        counts = has.astype(INDEX_DTYPE)
+        indptr = jnp.concatenate(
+            [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(counts)]
+        )
+        # compact populated rows to the front
+        dst = jnp.where(has, indptr[:-1], n_outer)
+        cap_out = max(n_outer, 1)
+        new_indices = jnp.zeros((cap_out,), INDEX_DTYPE).at[dst].set(
+            hot_inner, mode="drop"
+        )
+        new_data = jnp.zeros((cap_out,), self.data.dtype).at[dst].set(
+            jnp.ones((n_outer,), self.data.dtype), mode="drop"
+        )
+        return CsMat(indptr, new_indices, new_data, self.shape, self.storage)
+
+    def insert(self, row: int, col: int, value) -> "CsMat":
+        """Functional entry insertion (csmat.rs:649-695): returns a new
+        matrix with (row, col) set to ``value`` (overwriting an existing
+        entry).  Host-only; capacity grows by one when the entry is new.
+        """
+        if not is_concrete(self.indptr, self.indices, self.data):
+            raise StructureError.unsorted(
+                "insert is a host-side constructor helper; build traced "
+                "matrices through TriMat/coo pathways instead"
+            )
+        if not (0 <= row < self.shape[0] and 0 <= col < self.shape[1]):
+            raise ShapeError(f"insert({row}, {col}) out of {self.shape}")
+        o, i = (row, col) if self.is_csr else (col, row)
+        indptr = np.asarray(self.indptr).copy()
+        nnz = int(indptr[-1])
+        indices = np.asarray(self.indices)[:nnz]
+        data = np.asarray(self.data)[:nnz]
+        lo, hi = int(indptr[o]), int(indptr[o + 1])
+        pos = lo + int(np.searchsorted(indices[lo:hi], i))
+        if pos < hi and indices[pos] == i:
+            data = data.copy()
+            data[pos] = value
+        else:
+            indices = np.insert(indices, pos, i)
+            data = np.insert(data, pos, value)
+            indptr[o + 1 :] += 1
+        return csmat(
+            self.shape,
+            indptr,
+            indices,
+            data,
+            storage=self.storage,
+            validate=False,
+        )
+
+    def append_outer(self, dense_row) -> "CsMat":
+        """Append one outer dimension from a dense vector
+        (csmat.rs:552-638).  Host-only, functional."""
+        if not is_concrete(self.indptr, self.indices, self.data):
+            raise StructureError.unsorted("append_outer is host-only")
+        dense_row = np.asarray(dense_row)
+        if dense_row.shape != (self.inner_dims,):
+            raise ShapeError(
+                f"append_outer expects ({self.inner_dims},), got {dense_row.shape}"
+            )
+        nz = np.nonzero(dense_row)[0]
+        indptr = np.asarray(self.indptr)
+        nnz = int(indptr[-1])
+        indices = np.concatenate([np.asarray(self.indices)[:nnz], nz])
+        data = np.concatenate(
+            [np.asarray(self.data)[:nnz], dense_row[nz]]
+        )
+        indptr = np.concatenate([indptr, [nnz + nz.size]])
+        shape = (
+            (self.shape[0] + 1, self.shape[1])
+            if self.is_csr
+            else (self.shape[0], self.shape[1] + 1)
+        )
+        return csmat(
+            shape, indptr, indices, data, storage=self.storage, validate=False
+        )
+
     def get(self, row: int, col: int):
         """Value at (row, col); 0 if not stored. O(log nnz_row) search."""
         i, j = (row, col) if self.is_csr else (col, row)

@@ -79,6 +79,19 @@ class CsVec:
 
     scatter = to_dense
 
+    def to_set(self):
+        """Host-side dict {index: value} of live entries (vec.rs:976-985)."""
+        import numpy as np
+
+        n = int(self.nnz)
+        idx = np.asarray(self.indices)[:n]
+        val = np.asarray(self.data)[:n]
+        return {int(i): v for i, v in zip(idx, val)}
+
+    def items(self):
+        """Host-side (index, value) iterator over live entries."""
+        return iter(self.to_set().items())
+
     def row_view(self) -> CsMat:
         """Reinterpret as a 1×dim CSR matrix (vec.rs:770-784)."""
         indptr = jnp.stack(

@@ -1,12 +1,18 @@
 """Utilities: fixtures, special matrices, random generation, visualization."""
 
-from . import fixtures
+from . import fixtures, profile
+from .profile import audit_spmv, chain_time, measure_peak_bandwidth, roofline_report
 from .rand import rand_csr
 from .special import grid_laplacian, tri_mesh_graph_laplacian
 from .visu import nnz_image, nnz_pattern, nnz_pattern_str
 
 __all__ = [
     "fixtures",
+    "profile",
+    "audit_spmv",
+    "chain_time",
+    "measure_peak_bandwidth",
+    "roofline_report",
     "rand_csr",
     "grid_laplacian",
     "tri_mesh_graph_laplacian",

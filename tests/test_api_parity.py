@@ -1,0 +1,111 @@
+"""Small parity surface: to_inner_onehot, insert/append_outer, CsVec
+to_set/items, profiling byte accounting."""
+
+import jax
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.utils.profile import (
+    csr_spmv_bytes,
+    dia_spmv_bytes,
+    ell_spmv_bytes,
+    roofline_report,
+)
+
+
+class TestInnerOnehot:
+    def test_basic(self):
+        d = np.array(
+            [[0.0, 3.0, 1.0], [0.0, 0.0, 0.0], [5.0, 2.0, 9.0]]
+        )
+        hot = st.from_dense(d).to_inner_onehot()
+        expect = np.array(
+            [[0.0, 1.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        np.testing.assert_allclose(np.asarray(hot.to_dense()), expect)
+        hot.check_structure()
+
+    def test_nan_ignored(self):
+        d = np.array([[np.nan, 2.0], [1.0, np.nan]])
+        hot = st.from_dense(d).to_inner_onehot()
+        expect = np.array([[0.0, 1.0], [1.0, 0.0]])
+        np.testing.assert_allclose(np.asarray(hot.to_dense()), expect)
+
+    def test_csc(self):
+        d = np.array([[1.0, 4.0], [3.0, 2.0]])
+        hot = st.from_dense(d, storage="csc").to_inner_onehot()
+        assert hot.is_csc
+        # per column: max of col0 is row1 (3), col1 is row0 (4)
+        expect = np.array([[0.0, 1.0], [1.0, 0.0]])
+        np.testing.assert_allclose(np.asarray(hot.to_dense()), expect)
+
+    def test_jit(self):
+        d = np.array([[0.0, 3.0], [7.0, 1.0]])
+        m = st.from_dense(d)
+        hot = jax.jit(lambda m: m.to_inner_onehot())(m)
+        np.testing.assert_allclose(
+            np.asarray(hot.to_dense()),
+            np.array([[0.0, 1.0], [1.0, 0.0]]),
+        )
+
+
+class TestInsertAppend:
+    def test_insert_new(self):
+        d = np.array([[1.0, 0.0], [0.0, 2.0]])
+        m = st.from_dense(d).insert(0, 1, 5.0)
+        d[0, 1] = 5.0
+        np.testing.assert_allclose(np.asarray(m.to_dense()), d)
+        m.check_structure()
+
+    def test_insert_overwrite(self):
+        d = np.array([[1.0, 0.0], [0.0, 2.0]])
+        m = st.from_dense(d).insert(1, 1, -3.0)
+        d[1, 1] = -3.0
+        np.testing.assert_allclose(np.asarray(m.to_dense()), d)
+
+    def test_insert_out_of_range(self):
+        m = st.from_dense(np.eye(2))
+        with pytest.raises(st.ShapeError):
+            m.insert(2, 0, 1.0)
+
+    def test_append_outer(self):
+        d = np.array([[1.0, 0.0, 2.0]])
+        m = st.from_dense(d).append_outer(np.array([0.0, 7.0, 0.0]))
+        assert m.shape == (2, 3)
+        np.testing.assert_allclose(
+            np.asarray(m.to_dense()),
+            np.array([[1.0, 0.0, 2.0], [0.0, 7.0, 0.0]]),
+        )
+        m.check_structure()
+
+    def test_append_outer_csc(self):
+        d = np.array([[1.0], [0.0]])
+        m = st.from_dense(d, storage="csc").append_outer(
+            np.array([3.0, 4.0])
+        )
+        assert m.shape == (2, 2)
+        np.testing.assert_allclose(
+            np.asarray(m.to_dense()), np.array([[1.0, 3.0], [0.0, 4.0]])
+        )
+
+
+class TestCsVecSet:
+    def test_to_set(self):
+        v = st.csvec(5, [1, 3], [2.0, -1.0])
+        s = v.to_set()
+        assert s == {1: 2.0, 3: -1.0}
+        assert dict(v.items()) == s
+
+
+class TestProfileAccounting:
+    def test_byte_formulas(self):
+        assert csr_spmv_bytes(10, 4) == 10 * 12 + 4 * 8
+        assert dia_spmv_bytes(5, 100, 100) == (500 + 200) * 4
+        assert ell_spmv_bytes(8, 3, 10) == 8 * 3 * 8 + 18 * 4
+
+    def test_roofline_report(self):
+        rep = roofline_report("k", 0.001, 1_000_000, flops=500, peak_gbps=10.0)
+        assert rep["achieved_GBps"] == 1.0
+        assert rep["roofline_fraction"] == pytest.approx(0.1)
+        assert rep["kernel"] == "k"
