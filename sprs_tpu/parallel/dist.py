@@ -65,14 +65,35 @@ class DistCsMat:
     indptr: jax.Array
     indices: jax.Array
     data: jax.Array
+    row_ids: jax.Array  # (S, rows_per) global row of each local row;
+    # padding rows carry the sentinel shape[0].  Needed because
+    # nnz-balanced shards have ragged true row counts: the flat
+    # row-sharded output is NOT globally contiguous (each shard pads at
+    # its end) — assemble() undoes that.
     shape: Tuple[int, int]  # true (unpadded) global shape
 
     def tree_flatten(self):
-        return (self.indptr, self.indices, self.data), (self.shape,)
+        return (self.indptr, self.indices, self.data, self.row_ids), (
+            self.shape,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, aux[0])
+
+    def assemble(self, y: jax.Array) -> jax.Array:
+        """Map a flat row-sharded result (S*rows_per[, k]) back to global
+        row order (shape[0][, k]).  Jittable."""
+        rows = self.shape[0]
+        ids = self.row_ids.reshape(-1)
+        live = ids < rows
+        idx = jnp.where(live, ids, 0)
+        out_shape = (rows,) + tuple(y.shape[1:])
+        zero = jnp.zeros((), y.dtype)
+        contrib = jnp.where(
+            live if y.ndim == 1 else live[:, None], y, zero
+        )
+        return jnp.zeros(out_shape, y.dtype).at[idx].add(contrib)
 
     @property
     def n_shards(self) -> int:
@@ -104,9 +125,12 @@ class DistCsMat:
         """Gather back to a single (host-side) CsMat."""
         from ..ops.construct import vstack
 
-        blocks = [self.local_mat(s) for s in range(self.n_shards)]
-        full = vstack(blocks)
-        return full.slice_outer(0, self.shape[0])
+        ids = np.asarray(self.row_ids)
+        blocks = []
+        for s in range(self.n_shards):
+            true_rows = int((ids[s] < self.shape[0]).sum())
+            blocks.append(self.local_mat(s).slice_outer(0, true_rows))
+        return vstack(blocks)
 
 
 def shard_csr_rows(
@@ -156,6 +180,7 @@ def shard_csr_rows(
     ip = np.zeros((n_shards, rows_per + 1), dtype=np.int32)
     ix = np.zeros((n_shards, cap_per), dtype=np.int32)
     dt = np.zeros((n_shards, cap_per), dtype=data.dtype)
+    rid = np.full((n_shards, rows_per), rows, dtype=np.int32)
     for s in range(n_shards):
         lo, hi = bounds[s], bounds[s + 1]
         nr = hi - lo
@@ -163,11 +188,16 @@ def shard_csr_rows(
         local_ptr = indptr[lo : hi + 1] - base
         ip[s, : nr + 1] = local_ptr
         ip[s, nr + 1 :] = local_ptr[-1]  # padding rows are empty
+        rid[s, :nr] = np.arange(lo, hi, dtype=np.int32)
         k = int(local_ptr[-1])
         ix[s, :k] = indices[base : base + k]
         dt[s, :k] = data[base : base + k]
     return DistCsMat(
-        jnp.asarray(ip), jnp.asarray(ix), jnp.asarray(dt), (rows, cols)
+        jnp.asarray(ip),
+        jnp.asarray(ix),
+        jnp.asarray(dt),
+        jnp.asarray(rid),
+        (rows, cols),
     )
 
 
@@ -266,7 +296,9 @@ def dist_spgemm(
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
     )(dmat.indptr, dmat.indices, dmat.data)
-    return DistCsMat(cip, cix, cdt, (dmat.shape[0], b.shape[1]))
+    return DistCsMat(
+        cip, cix, cdt, dmat.row_ids, (dmat.shape[0], b.shape[1])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Distributed kernels on the virtual 8-device CPU mesh.
+
+The analog of the reference's fixed-thread-count determinism tests
+(smmp.rs:491-513): same results regardless of shard count.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import sprs_tpu as st
+from sprs_tpu.parallel import (
+    dist_spgemm,
+    dist_spmv,
+    dist_spmv_2d,
+    dist_spmv_halo,
+    shard_csr_2d,
+    shard_csr_rows,
+    shard_csr_rows_halo,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def mesh_1d(n):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("shards",))
+
+
+def random_sparse(r, c, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((r, c))
+    d[rng.random((r, c)) > density] = 0.0
+    return d
+
+
+class TestDistSpmv:
+    @pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+    def test_replicated_x(self, n_shards):
+        d = random_sparse(37, 23, seed=1)
+        m = st.from_dense(d)
+        dm = shard_csr_rows(m, n_shards)
+        x = RNG.standard_normal(23)
+        y = np.asarray(dm.assemble(dist_spmv(dm, x, mesh_1d(n_shards))))
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    @pytest.mark.parametrize("balance", ["rows", "nnz"])
+    def test_sharded_x(self, balance):
+        d = random_sparse(40, 40, seed=2)
+        m = st.from_dense(d)
+        dm = shard_csr_rows(m, 4, balance=balance)
+        x = RNG.standard_normal(40)
+        y = np.asarray(
+            dm.assemble(dist_spmv(dm, x, mesh_1d(4), x_sharded=True))
+        )
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_roundtrip(self):
+        d = random_sparse(19, 31, seed=3)
+        dm = shard_csr_rows(st.from_dense(d), 4, balance="nnz")
+        np.testing.assert_allclose(
+            np.asarray(dm.to_csmat().to_dense()), d
+        )
+
+
+class TestDistSpgemm:
+    @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_matches_dense(self, n_shards):
+        da = random_sparse(24, 18, seed=4)
+        db = random_sparse(18, 20, seed=5)
+        dm = shard_csr_rows(st.from_dense(da), n_shards)
+        c = dist_spgemm(dm, st.from_dense(db), mesh_1d(n_shards))
+        np.testing.assert_allclose(
+            np.asarray(c.to_csmat().to_dense()), da @ db, rtol=1e-10
+        )
+
+
+class TestDist2D:
+    @pytest.mark.parametrize("grid", [(2, 2), (2, 4), (4, 2)])
+    def test_matches_dense(self, grid):
+        R, C = grid
+        d = random_sparse(26, 34, seed=6)
+        dm, cp = shard_csr_2d(st.from_dense(d), grid)
+        x = RNG.standard_normal(34)
+        mesh = Mesh(
+            np.array(jax.devices()[: R * C]).reshape(R, C),
+            axis_names=("r", "c"),
+        )
+        y = np.asarray(dist_spmv_2d(dm, cp, x, mesh))[:26]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+
+class TestHalo:
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_laplacian(self, n_shards):
+        lap = st.utils.grid_laplacian((8, 8), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        dm = shard_csr_rows_halo(lap, n_shards)
+        # one grid row of reach (boundary rows are identity rows, so the
+        # max reach can be ny-1 instead of ny depending on shard cuts)
+        assert 0 < dm.halo <= 8
+        x = RNG.standard_normal(64)
+        y = np.asarray(dist_spmv_halo(dm, x, mesh_1d(n_shards)))[:64]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_tridiagonal(self):
+        n = 24
+        d = (
+            np.diag(np.full(n, 2.0))
+            + np.diag(np.full(n - 1, -1.0), 1)
+            + np.diag(np.full(n - 1, -1.0), -1)
+        )
+        dm = shard_csr_rows_halo(st.from_dense(d), 4)
+        assert dm.halo == 1
+        x = RNG.standard_normal(n)
+        y = np.asarray(dist_spmv_halo(dm, x, mesh_1d(4)))[:n]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_diagonal_zero_halo(self):
+        d = np.diag(np.arange(1.0, 17.0))
+        dm = shard_csr_rows_halo(st.from_dense(d), 4)
+        assert dm.halo == 0
+        x = RNG.standard_normal(16)
+        y = np.asarray(dist_spmv_halo(dm, x, mesh_1d(4)))[:16]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_wide_band_rejected(self):
+        d = random_sparse(16, 16, density=0.9, seed=7)
+        with pytest.raises(st.ShapeError):
+            shard_csr_rows_halo(st.from_dense(d), 8)
+
+    def test_non_square_rejected(self):
+        with pytest.raises(st.ShapeError):
+            shard_csr_rows_halo(st.from_dense(np.ones((4, 6))), 2)
+
+    def test_matches_allgather_path(self):
+        lap = st.utils.grid_laplacian((6, 6), dtype=np.float64)
+        x = RNG.standard_normal(36)
+        m = mesh_1d(4)
+        y_halo = np.asarray(
+            dist_spmv_halo(shard_csr_rows_halo(lap, 4), x, m)
+        )[:36]
+        y_ag = np.asarray(
+            dist_spmv(shard_csr_rows(lap, 4), x, m, x_sharded=True)
+        )[:36]
+        np.testing.assert_allclose(y_halo, y_ag, rtol=1e-12)
