@@ -43,11 +43,20 @@ def row_ids_from_indptr(indptr: jax.Array, cap: int) -> jax.Array:
     range for every segment op with ``num_segments == n_outer`` and is
     therefore dropped — this is what makes padding free in segment-sum
     kernels.
+
+    Implemented as scatter-ones + cumsum rather than ``searchsorted``:
+    a binary search is ~log2(n) rounds of random gathers, which measured
+    ~7x slower on TPU for the SpGEMM expand stage.  Scattering a 1 at
+    each row's start and prefix-summing gives the same "index of the
+    last row whose start <= t" (empty rows collide at one position and
+    the cumsum skips them correctly).
     """
     pos = positions(cap)
-    return (
-        jnp.searchsorted(indptr, pos, side="right").astype(INDEX_DTYPE) - 1
-    )
+    starts = indptr[:-1].astype(INDEX_DTYPE)
+    seg = jnp.zeros((cap,), INDEX_DTYPE).at[starts].add(1, mode="drop")
+    ids = jnp.cumsum(seg) - 1
+    n_outer = indptr.shape[0] - 1
+    return jnp.where(pos < indptr[-1], ids, n_outer).astype(INDEX_DTYPE)
 
 
 def indptr_from_row_counts(row_counts: jax.Array) -> jax.Array:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import CapacityError, ShapeError
@@ -36,24 +37,53 @@ from ..formats.util import INDEX_DTYPE, compress_coo, is_concrete
 
 
 def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
-    """Enumerate partial products of CSR a × CSR b as padded COO arrays."""
+    """Enumerate partial products of CSR a × CSR b as padded COO arrays.
+
+    Per-product work is four random gathers (two from A-entry-sized
+    arrays, two from B-entry-sized arrays) plus two scatter+cumsum
+    passes.  Ownership maps (which A-entry / which A-row produced flat
+    product t) use the scatter-ones + prefix-sum trick instead of
+    searchsorted — a binary search is log2(n) rounds of random gathers
+    and measured ~7x slower on TPU at 5.6M products.
+    """
     cap_a = a.cap
-    a_outer = a.outer_ids()  # row of each A entry; padding -> a.rows
     a_live = a.live_mask()
     k = jnp.minimum(a.indices, b.rows - 1)  # B row hit by each A entry
     b_len = jnp.where(a_live, b.indptr[k + 1] - b.indptr[k], 0)
     offsets = jnp.cumsum(b_len)  # inclusive scan, (cap_a,)
     total = offsets[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
+    starts_all = offsets - b_len  # per A-entry start of its range
+    # per-entry "q-base": q = adj[p] + t with no further gathers
+    adj = b.indptr[k] - starts_all
 
     t = jnp.arange(prod_cap, dtype=INDEX_DTYPE)
-    p = jnp.searchsorted(offsets, t, side="right").astype(INDEX_DTYPE)
-    p_c = jnp.minimum(p, cap_a - 1)
-    start = offsets[p_c] - b_len[p_c]
-    q = b.indptr[k[p_c]] + (t - start)
-    q_c = jnp.minimum(q, b.cap - 1)
-    valid = t < total
+    # A-entry ownership: scatter a 1 at each entry's range start,
+    # prefix-sum.  Zero-length entries collide at the next start and the
+    # cumsum skips them.
+    seg = jnp.zeros((prod_cap,), INDEX_DTYPE).at[
+        jnp.where(a_live, starts_all, prod_cap)
+    ].add(1, mode="drop")
+    p = jnp.cumsum(seg) - 1
+    p_c = jnp.clip(p, 0, cap_a - 1)
+    # A-row ownership, same trick at row granularity (saves the
+    # a_outer[p] gather): row r's products start where its first entry's
+    # range starts.
+    first_entry = jnp.minimum(a.indptr[:-1], cap_a - 1)
+    row_start = starts_all[first_entry]
+    empty_tail = a.indptr[:-1] >= a.indptr[-1]
+    rseg = jnp.zeros((prod_cap,), INDEX_DTYPE).at[
+        jnp.where(empty_tail, prod_cap, row_start)
+    ].add(1, mode="drop")
+    rows_raw = jnp.cumsum(rseg) - 1
 
-    rows = jnp.where(valid, a_outer[p_c], a.rows)
+    valid = t < total
+    rows = jnp.where(valid, rows_raw, a.rows).astype(INDEX_DTYPE)
+    # NB: packing (idx, val) pairs into complex64 to halve gather passes
+    # measured FASTER in isolation (144 vs 176 ms at 5.6M lookups) but
+    # SLOWER end-to-end (753 vs 467 ms) — XLA overlaps the separate
+    # gathers better than it fuses the complex pack/unpack.  Keep the
+    # straightforward form.
+    q_c = jnp.minimum(adj[p_c] + t, b.cap - 1)
     cols = jnp.where(valid, b.indices[q_c], 0)
     vals = jnp.where(
         valid, a.data[p_c] * b.data[q_c], jnp.zeros((), a.data.dtype)
