@@ -1,0 +1,114 @@
+"""Weak-scaling benchmark for distributed SpMV.
+
+BASELINE.md target: >= 70% weak-scaling efficiency at N >= 2 devices.
+Weak scaling holds the per-device work constant (rows_per_device grid
+rows of a 5-point Laplacian) and grows the problem with the mesh; the
+efficiency at N devices is t(1) / t(N) (ideal = 1.0).
+
+Two communication schedules are measured:
+
+* ``halo``  — ppermute boundary exchange, O(halo) bytes/device
+  (sprs_tpu.parallel.dist_spmv_halo); the weak-scalable schedule.
+* ``gather`` — all_gather of the full x, O(n) bytes/device
+  (dist_spmv with x_sharded=True); the baseline that stops scaling.
+
+On a single real TPU this runs with a 1-device mesh (the numbers are
+still recorded for the harness contract); with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
+it exercises the full schedule on the virtual mesh.
+
+Usage: python benches/scaling_bench.py [--rows-per 65536] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+import sprs_tpu as st
+from sprs_tpu.parallel import (
+    dist_spmv,
+    dist_spmv_halo,
+    shard_csr_rows,
+    shard_csr_rows_halo,
+)
+
+
+def chain_time(f, x0, iters):
+    y = f(x0)
+    _ = float(jnp.asarray(y).reshape(-1)[0])
+    t0 = time.perf_counter()
+    y = x0
+    for _ in range(iters):
+        y = f(y)
+    _ = float(jnp.asarray(y).reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_n(n_dev: int, rows_per: int, iters: int):
+    side = int(np.sqrt(rows_per))
+    lap = st.utils.grid_laplacian(
+        (side * n_dev, side), dtype=np.float32
+    )  # rows grow with devices, per-device block constant
+    n = lap.shape[0]
+    x = jnp.asarray(np.random.default_rng(0).random(n, dtype=np.float32))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("shards",))
+
+    hmat = shard_csr_rows_halo(lap, n_dev)
+    f_halo = jax.jit(
+        lambda v: dist_spmv_halo(hmat, v, mesh)[: v.shape[0]]
+    )
+    t_halo = chain_time(f_halo, x, iters)
+
+    dmat = shard_csr_rows(lap, n_dev)
+    f_ag = jax.jit(
+        lambda v: dmat.assemble(dist_spmv(dmat, v, mesh, x_sharded=True))
+    )
+    t_ag = chain_time(f_ag, x, iters)
+    return dict(
+        n_devices=n_dev,
+        rows=n,
+        nnz=int(lap.nnz),
+        halo=hmat.halo,
+        halo_s=t_halo,
+        gather_s=t_ag,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per", type=int, default=65536)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    n_avail = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8) if c <= n_avail]
+    rows = [bench_n(c, args.rows_per, args.iters) for c in counts]
+    base_halo = rows[0]["halo_s"]
+    base_ag = rows[0]["gather_s"]
+    for r in rows:
+        r["halo_weak_eff"] = round(base_halo / r["halo_s"], 4)
+        r["gather_weak_eff"] = round(base_ag / r["gather_s"], 4)
+        print(json.dumps(r), flush=True)
+    final = rows[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "weak_scaling_halo_eff",
+                "value": final["halo_weak_eff"],
+                "n_devices": final["n_devices"],
+                "vs_target_0.70": round(final["halo_weak_eff"] / 0.70, 3),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
