@@ -552,6 +552,30 @@ class CsMat:
             raise TypeError("sparse / sparse is not defined (densifies)")
         return self.map(lambda d: d / other)
 
+    def allclose(self, other: "CsMat", *, rtol: float = 1e-7, atol: float = 1e-12) -> bool:
+        """Approximate equality (the reference's `approx` feature,
+        csmat.rs:3055-3204): same shape, dense values within tolerance
+        regardless of storage/pattern differences.  Host-only."""
+        import numpy as np
+
+        if self.shape != other.shape:
+            return False
+        return bool(
+            np.allclose(
+                np.asarray(self.to_dense()),
+                np.asarray(other.to_dense()),
+                rtol=rtol,
+                atol=atol,
+            )
+        )
+
+    def outer_blocks(self, block_size: int):
+        """Iterate (start, CsMat) outer-dimension chunks
+        (outer_block_iter, csmat.rs:1272-1286).  Host-only generator."""
+        for start in range(0, self.outer_dims, block_size):
+            stop = min(start + block_size, self.outer_dims)
+            yield start, self.slice_outer(start, stop)
+
     def __repr__(self):
         nnz = self.nnz
         nnz_s = str(nnz) if isinstance(nnz, int) else "<traced>"

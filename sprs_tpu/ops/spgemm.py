@@ -46,15 +46,37 @@ def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
     searchsorted — a binary search is log2(n) rounds of random gathers
     and measured ~7x slower on TPU at 5.6M products.
     """
+    return _expand_from_rows(
+        a,
+        b.indptr[:-1],
+        b.indptr[1:] - b.indptr[:-1],
+        b.indices,
+        b.data,
+        prod_cap,
+    )
+
+
+def _expand_from_rows(
+    a: CsMat, b_starts, b_lens, b_indices, b_data, prod_cap: int
+):
+    """Expand against explicit B row spans.
+
+    ``b_starts[r]``/``b_lens[r]`` give row r's entry range inside
+    ``b_indices``/``b_data``; the entry arrays may contain padding gaps
+    between rows (a gathered, shard-concatenated B uses this — the
+    distributed SpGEMM path).
+    """
+    b_rows = b_starts.shape[0]
+    b_cap = b_indices.shape[0]
     cap_a = a.cap
     a_live = a.live_mask()
-    k = jnp.minimum(a.indices, b.rows - 1)  # B row hit by each A entry
-    b_len = jnp.where(a_live, b.indptr[k + 1] - b.indptr[k], 0)
+    k = jnp.minimum(a.indices, b_rows - 1)  # B row hit by each A entry
+    b_len = jnp.where(a_live, b_lens[k], 0)
     offsets = jnp.cumsum(b_len)  # inclusive scan, (cap_a,)
     total = offsets[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
     starts_all = offsets - b_len  # per A-entry start of its range
     # per-entry "q-base": q = adj[p] + t with no further gathers
-    adj = b.indptr[k] - starts_all
+    adj = b_starts[k] - starts_all
 
     t = jnp.arange(prod_cap, dtype=INDEX_DTYPE)
     # A-entry ownership: scatter a 1 at each entry's range start,
@@ -83,10 +105,10 @@ def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
     # SLOWER end-to-end (753 vs 467 ms) — XLA overlaps the separate
     # gathers better than it fuses the complex pack/unpack.  Keep the
     # straightforward form.
-    q_c = jnp.minimum(adj[p_c] + t, b.cap - 1)
-    cols = jnp.where(valid, b.indices[q_c], 0)
+    q_c = jnp.minimum(adj[p_c] + t, b_cap - 1)
+    cols = jnp.where(valid, b_indices[q_c], 0)
     vals = jnp.where(
-        valid, a.data[p_c] * b.data[q_c], jnp.zeros((), a.data.dtype)
+        valid, a.data[p_c] * b_data[q_c], jnp.zeros((), a.data.dtype)
     )
     return rows, cols, vals, total
 

@@ -4,6 +4,7 @@ from .dist import (
     Dist2DCsMat,
     DistCsMat,
     dist_spgemm,
+    dist_spgemm_bshard,
     dist_spmv,
     dist_spmv_2d,
     shard_csr_2d,
@@ -16,6 +17,7 @@ __all__ = [
     "DistCsMat",
     "HaloCsMat",
     "dist_spgemm",
+    "dist_spgemm_bshard",
     "dist_spmv",
     "dist_spmv_2d",
     "dist_spmv_halo",

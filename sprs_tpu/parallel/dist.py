@@ -301,6 +301,109 @@ def dist_spgemm(
     )
 
 
+def dist_spgemm_bshard(
+    da: DistCsMat,
+    db: DistCsMat,
+    mesh: Mesh,
+    *,
+    axis: str = "shards",
+    prod_cap: Optional[int] = None,
+    out_cap: Optional[int] = None,
+) -> DistCsMat:
+    """C = A @ B with BOTH operands row-sharded (SURVEY §5.8's
+    "all-gather of remote B rows" schedule).
+
+    Each device all-gathers B's shard arrays over ICI and runs the local
+    ESC expand against the *gap-padded* concatenation: shard s's entries
+    live at flat offsets [s·cap_B, s·cap_B + nnz_s), so row spans stay
+    valid without compaction — the expand kernel only ever addresses
+    entries inside a row's span (ops/spgemm._expand_from_rows).
+
+    Requires ``db`` to be rows-balanced (equal contiguous blocks) so the
+    global row id of B row r is simply r.
+    """
+    if da.shape[1] != db.shape[0]:
+        raise ShapeError(f"dist_spgemm_bshard: {da.shape} @ {db.shape}")
+    ids = np.asarray(db.row_ids)
+    S = db.n_shards
+    rp_b = db.rows_per_shard
+    expect = np.arange(S * rp_b).reshape(S, rp_b)
+    live_b = ids < db.shape[0]
+    if not np.array_equal(ids[live_b], expect[live_b]):
+        raise ShapeError(
+            "dist_spgemm_bshard needs rows-balanced B shards "
+            '(shard_csr_rows(..., balance="rows"))'
+        )
+    rows_per = da.rows_per_shard
+    cap_b = db.cap_per_shard
+
+    if prod_cap is None:
+        # exact per-A-shard bound against global B row lengths (host)
+        b_lens = np.zeros(db.shape[0] + 1, dtype=np.int64)
+        for s in range(S):
+            lip = np.asarray(db.indptr)[s]
+            lens = np.diff(lip)
+            r0 = s * rp_b
+            take = min(rp_b, db.shape[0] - r0)
+            if take > 0:
+                b_lens[r0 : r0 + take] = lens[:take]
+        caps = []
+        for s in range(da.n_shards):
+            nnz_s = int(np.asarray(da.indptr)[s, -1])
+            idx = np.asarray(da.indices)[s, :nnz_s]
+            caps.append(int(b_lens[idx].sum()) if nnz_s else 0)
+        prod_cap = max(max(caps), 1)
+    if out_cap is None:
+        out_cap = prod_cap
+
+    from ..formats.util import compress_coo
+    from ..ops.spgemm import _expand_from_rows
+
+    n_inner = db.shape[1]
+    padded_b_rows = S * rp_b
+
+    def kernel(aip, aix, adt, bip, bix, bdt):
+        g_ip = jax.lax.all_gather(bip[0], axis)  # (S, rp_b+1)
+        g_ix = jax.lax.all_gather(bix[0], axis).reshape(-1)
+        g_dt = jax.lax.all_gather(bdt[0], axis).reshape(-1)
+        offs = (
+            jnp.arange(S, dtype=INDEX_DTYPE)[:, None] * cap_b
+        )
+        b_starts = (g_ip[:, :-1] + offs).reshape(-1)
+        b_lens = (g_ip[:, 1:] - g_ip[:, :-1]).reshape(-1)
+
+        local = CsMat(
+            aip[0], aix[0], adt[0], (rows_per, padded_b_rows), CSR
+        )
+        rows, cols, vals, total = _expand_from_rows(
+            local, b_starts, b_lens, g_ix, g_dt, prod_cap
+        )
+        res = compress_coo(
+            rows=rows,
+            cols=cols,
+            value_channels=(vals,),
+            nvalid=total,
+            n_outer=rows_per,
+            n_inner=n_inner,
+            out_cap=out_cap,
+        )
+        return (
+            res.indptr[None],
+            res.indices[None],
+            res.values[0][None],
+        )
+
+    cip, cix, cdt = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(da.indptr, da.indices, da.data, db.indptr, db.indices, db.data)
+    return DistCsMat(
+        cip, cix, cdt, da.row_ids, (da.shape[0], db.shape[1])
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2-D block partitioning
 # ---------------------------------------------------------------------------

@@ -75,6 +75,42 @@ class TestDistSpgemm:
         )
 
 
+class TestDistSpgemmBshard:
+    @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_both_sharded(self, n_shards):
+        from sprs_tpu.parallel import dist_spgemm_bshard
+
+        da = random_sparse(24, 18, seed=8)
+        db = random_sparse(18, 20, seed=9)
+        A = shard_csr_rows(st.from_dense(da), n_shards)
+        B = shard_csr_rows(st.from_dense(db), n_shards)
+        c = dist_spgemm_bshard(A, B, mesh_1d(n_shards))
+        np.testing.assert_allclose(
+            np.asarray(c.to_csmat().to_dense()), da @ db, rtol=1e-10
+        )
+
+    def test_nnz_balanced_b_rejected(self):
+        from sprs_tpu.parallel import dist_spgemm_bshard
+
+        da = random_sparse(16, 16, seed=10)
+        # craft a B where nnz-balance differs from rows-balance
+        db = np.zeros((16, 16))
+        db[:2] = random_sparse(2, 16, density=0.9, seed=11)
+        db[2:] = random_sparse(14, 16, density=0.05, seed=12)
+        A = shard_csr_rows(st.from_dense(da), 4)
+        B = shard_csr_rows(st.from_dense(db), 4, balance="nnz")
+        ids = np.asarray(B.row_ids)
+        expect = np.arange(B.n_shards * B.rows_per_shard).reshape(
+            B.n_shards, -1
+        )
+        if np.array_equal(
+            ids[ids < 16], expect[ids < 16]
+        ):  # balance happened to coincide; nothing to assert
+            pytest.skip("nnz balance coincided with rows balance")
+        with pytest.raises(st.ShapeError):
+            dist_spgemm_bshard(A, B, mesh_1d(4))
+
+
 class TestDist2D:
     @pytest.mark.parametrize("grid", [(2, 2), (2, 4), (4, 2)])
     def test_matches_dense(self, grid):
