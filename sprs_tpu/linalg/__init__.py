@@ -5,6 +5,7 @@ from .etree import etree_from_pattern, postorder, tree_levels
 from .iterative import IterativeResult, gauss_seidel, jacobi
 from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
 from .lu import SpLu, splu
+from .solve import solve
 from .ordering import (
     OrderingResult,
     bandwidth,
@@ -38,6 +39,7 @@ __all__ = [
     "LdlSymbolic",
     "SpLu",
     "splu",
+    "solve",
     "OrderingResult",
     "bandwidth",
     "cuthill_mckee",

@@ -218,6 +218,34 @@ class SpLu:
             return jnp.zeros_like(z).at[inv_q].set(z)
         return jnp.zeros_like(z).at[inv_q].set(z)
 
+    def solve_transposed(self, b) -> jax.Array:
+        """x with Aᵀ x = b.  From A = R⁻¹ Pᵀ L U Qᵀ:
+        Aᵀ = Q Uᵀ Lᵀ P R⁻¹, so x = R · Pᵀ · L⁻ᵀ · U⁻ᵀ · Qᵀ b.
+        Jittable; schedules for the transposed sweeps are built lazily
+        and cached (same amortization as the forward pair)."""
+        b = jnp.asarray(b)
+        if not hasattr(self, "_ut_sched"):
+            # Uᵀ is lower-triangular: U's CSC arrays with the storage
+            # flag flipped (O(1) transpose)
+            object.__setattr__(
+                self, "_ut_sched", build_schedule(self._u.T, lower=True)
+            )
+            object.__setattr__(
+                self, "_lt_sched", build_schedule(self._l.T, lower=False)
+            )
+        qb = b[jnp.asarray(self.col_perm.perm)] if b.ndim == 1 else b[
+            jnp.asarray(self.col_perm.perm), :
+        ]
+        w = lsolve(self._u.T, qb, schedule=self._ut_sched)
+        v = usolve(self._l.T, w, schedule=self._lt_sched)
+        p = jnp.asarray(self.row_perm.perm)
+        out = jnp.zeros_like(v)
+        if b.ndim == 1:
+            out = out.at[p].set(v)
+            return self.scale * out
+        out = out.at[p, :].set(v)
+        return self.scale[:, None] * out
+
     def det(self) -> jax.Array:
         """Determinant from the factorization: ±prod(diag U)/prod(R)."""
         sign_p = _perm_sign(np.asarray(self.row_perm.perm))

@@ -86,8 +86,12 @@ def diag_solve(mat: CsMat, b) -> jax.Array:
 
 
 def _row_window_width(mat: CsMat) -> int:
+    # pure numpy: jnp ops would stage tracers inside an enclosing trace
+    # even on concrete arrays (cf. _host_diag_check)
     if is_concrete(mat.indptr):
-        return max(int(mat.max_outer_nnz()), 1)
+        ip = np.asarray(mat.indptr)
+        width = int(np.diff(ip).max()) if ip.shape[0] > 1 else 0
+        return max(width, 1)
     return mat.cap
 
 
