@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from ..errors import NonSquareMatrixError, ShapeError
 from ..formats.csmat import CsMat
 from ..formats.csvec import CsVec
-from .trisolve import _check_rhs
 from ..ops.prod import spmv
 
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from ..errors import ShapeError
 from ..formats.csmat import CsMat
 from ..formats.csvec import CsVec
-from ..formats.util import INDEX_DTYPE, is_concrete
+from ..formats.util import INDEX_DTYPE
 from .binop import (
     add_dense,
     csmat_binop,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..errors import ShapeError
 from ..formats.csmat import CsMat
-from ..formats.util import INDEX_DTYPE, compress_coo, is_concrete, valid_mask
+from ..formats.util import compress_coo, is_concrete, valid_mask
 
 
 def csmat_binop(
