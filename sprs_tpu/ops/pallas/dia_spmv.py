@@ -9,7 +9,8 @@ left/center/right neighbor blocks, so a diagonal shifted by
 unaligned vector loads (Mosaic rejects both for dynamic 1-D indexing).
 The body is k fused multiply-adds on the VPU.
 
-HBM traffic per SpMV: data once (k·n), x three times (neighbor blocks),
+HBM traffic per SpMV: data once (k·n), x twice (center + right-neighbor
+blocks; the left neighbor is last step's center carried in VMEM scratch),
 y once — within ~1.3x of the k·n+2n speed-of-light for k >= 5, and
 materially less than the XLA path, which re-reads x once per diagonal.
 
@@ -52,14 +53,20 @@ def _roll(v, shift, axis):
 
 
 def _make_kernel(offsets, blk, acc_dtype):
-    def kernel(dat_ref, left_ref, center_ref, right_ref, o_ref):
+    def kernel(dat_ref, center_ref, right_ref, o_ref, carry_ref):
+        # The left-neighbor block is last step's center, carried in VMEM
+        # scratch (TPU grids run sequentially) — one fewer HBM fetch of
+        # x per step (traffic k·n + 2n + n instead of k·n + 3n).
+        i = pl.program_id(0)
+        c = center_ref[:].reshape(1, blk)
+
+        @pl.when(i == 0)
+        def _zero():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        left = carry_ref[:].reshape(1, blk)
         whole = jnp.concatenate(
-            [
-                left_ref[:].reshape(1, blk),
-                center_ref[:].reshape(1, blk),
-                right_ref[:].reshape(1, blk),
-            ],
-            axis=1,
+            [left, c, right_ref[:].reshape(1, blk)], axis=1
         )  # (1, 3*blk); whole[0, blk + j] = x[base + j]
         acc = jnp.zeros((1, blk), acc_dtype)
         for d, off in enumerate(offsets):
@@ -70,6 +77,7 @@ def _make_kernel(offsets, blk, acc_dtype):
                 acc_dtype
             )
         o_ref[:] = acc.reshape(blk).astype(o_ref.dtype)
+        carry_ref[:] = c.reshape(blk)
 
     return kernel
 
@@ -87,21 +95,21 @@ def _dia_spmv_pallas(data, xg, offsets, blk, interpret):
             pl.BlockSpec(
                 (n_diags, blk), lambda i: (0, i), memory_space=_VMEM
             ),
-            pl.BlockSpec((blk,), lambda i: (i,), memory_space=_VMEM),
             pl.BlockSpec((blk,), lambda i: (i + 1,), memory_space=_VMEM),
             pl.BlockSpec((blk,), lambda i: (i + 2,), memory_space=_VMEM),
         ],
         out_specs=pl.BlockSpec((blk,), lambda i: (i,), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * blk,), out_dtype),
+        scratch_shapes=[_scratch(blk, xg.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_diags * rows_blk,
             bytes_accessed=data.size * data.dtype.itemsize
-            + 3 * xg.size * xg.dtype.itemsize
+            + 2 * xg.size * xg.dtype.itemsize
             + rows_blk * out_dtype.itemsize,
             transcendentals=0,
         ),
-    )(data, xg, xg, xg)
+    )(data, xg, xg)
     return y
 
 
@@ -127,6 +135,13 @@ def _bwd(offsets, blk, interpret, res, g):
 
 
 _dia_spmv_pallas.defvjp(_fwd, _bwd)
+
+
+def _scratch(blk: int, dtype):
+    """VMEM carry buffer for the left-neighbor block."""
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError("pallas tpu backend unavailable")
+    return pltpu.VMEM((blk,), dtype)
 
 
 def _pick_blk(band: int, rows: int, n_diags: int, itemsize: int) -> int:
