@@ -16,6 +16,8 @@ also serves as its correctness oracle.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +57,37 @@ def spmm(mat: CsMat, x: jax.Array) -> jax.Array:
     contrib = mat.data[:, None] * _gather_rows(x, outer)
     y = jnp.zeros((mat.rows, x.shape[1]), dtype=contrib.dtype)
     return y.at[mat.indices].add(contrib, mode="drop")
+
+
+def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
+    """Structure-dispatched SpMV: pick the fastest format for ``mat``
+    and return ``(fn, prepared)`` with ``fn(prepared, x) -> y`` jittable.
+
+    The TPU analog of the reference's kernel-choice heuristics
+    (csmat.rs:2002-2047), lifted to format level (host-side, once per
+    matrix):
+
+    * few populated diagonals → DIA (zero-gather; Pallas kernel on TPU),
+    * modest ELL padding overhead → ELL (one gather per entry),
+    * otherwise → CSR segment-sum (always correct, scatter-bound).
+    """
+    from ..formats.dia import dia_from_csmat, dia_spmv, n_diags_of
+    from ..formats.ell import ell_from_csmat, ell_overhead, ell_spmv
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    k = n_diags_of(mat)
+    if k <= 32:
+        dia = dia_from_csmat(mat)
+        if use_pallas:
+            from .pallas import dia_spmv_pallas
+
+            return (lambda m, x: dia_spmv_pallas(m, x)), dia
+        return (lambda m, x: dia_spmv(m, x)), dia
+    if ell_overhead(mat) < 1.0:
+        return (lambda m, x: ell_spmv(m, x)), ell_from_csmat(mat)
+    return (lambda m, x: spmv(m, x)), mat
 
 
 def dense_matmul_sparse(x: jax.Array, mat: CsMat) -> jax.Array:

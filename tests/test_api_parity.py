@@ -98,6 +98,51 @@ class TestCsVecSet:
         assert dict(v.items()) == s
 
 
+class TestPrepareSpmv:
+    def test_banded_picks_dia(self):
+        from sprs_tpu.formats.dia import DiaMat
+        from sprs_tpu.ops.prod import prepare_spmv
+
+        lap = st.utils.grid_laplacian((8, 8), dtype=np.float64)
+        fn, prep = prepare_spmv(lap, use_pallas=False)
+        assert isinstance(prep, DiaMat)
+        x = np.random.default_rng(0).random(64)
+        y = jax.jit(fn)(prep, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(lap.to_dense()) @ x
+        )
+
+    def test_moderate_picks_ell(self):
+        from sprs_tpu.formats.ell import EllMat
+        from sprs_tpu.ops.prod import prepare_spmv
+
+        rng = np.random.default_rng(1)
+        d = rng.standard_normal((64, 64))
+        d[rng.random((64, 64)) > 0.6] = 0.0  # dense-ish: many diagonals
+        m = st.from_dense(d)
+        fn, prep = prepare_spmv(m, use_pallas=False)
+        assert isinstance(prep, EllMat)
+        x = rng.random(64)
+        np.testing.assert_allclose(
+            np.asarray(fn(prep, x)), d @ x, rtol=1e-10
+        )
+
+    def test_skewed_picks_csr(self):
+        from sprs_tpu.ops.prod import prepare_spmv
+
+        # one dense row, rest nearly empty: huge ELL padding overhead
+        d = np.zeros((200, 200))
+        d[0, :] = 1.0
+        d[np.arange(1, 200), 0] = 2.0
+        m = st.from_dense(d)
+        fn, prep = prepare_spmv(m, use_pallas=False)
+        assert prep is m
+        x = np.random.default_rng(2).random(200)
+        np.testing.assert_allclose(
+            np.asarray(fn(prep, x)), d @ x, rtol=1e-10
+        )
+
+
 class TestProfileAccounting:
     def test_byte_formulas(self):
         assert csr_spmv_bytes(10, 4) == 10 * 12 + 4 * 8
