@@ -1,0 +1,30 @@
+"""The reference's two examples must stay runnable end-to-end."""
+
+import runpy
+import sys
+
+import pytest
+
+
+def run_example(path, argv):
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_heat(capsys):
+    run_example("examples/heat.py", ["6"])
+    out = capsys.readouterr().out
+    assert "gauss-seidel" in out and "converged=True" in out
+
+
+def test_fill_in_reduction(capsys):
+    run_example("examples/fill_in_reduction.py", ["50"])
+    out = capsys.readouterr().out
+    assert "LDL fill with" in out
+    # orderings should not increase fill vs none by much; min-degree is
+    # typically strictly better — assert ordering lines are present
+    assert "min-degree" in out

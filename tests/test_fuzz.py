@@ -1,0 +1,126 @@
+"""Randomized parity fuzzing vs scipy/numpy oracles.
+
+Sweeps random shapes/densities/storages through the op surface and
+compares against the host reference — the bulk-randomized complement of
+the hand-computed fixture tests (the reference relies on fixtures only;
+property-style fuzzing catches the shape/padding edge cases its ASCII
+matrices miss).
+"""
+
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+
+CASES = list(range(12))
+
+
+def rand_case(seed):
+    rng = np.random.default_rng(seed)
+    r = int(rng.integers(1, 40))
+    c = int(rng.integers(1, 40))
+    density = float(rng.uniform(0.02, 0.6))
+    d = rng.standard_normal((r, c))
+    d[rng.random((r, c)) > density] = 0.0
+    storage = "csr" if rng.random() < 0.5 else "csc"
+    return rng, d, storage
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_roundtrip_and_transpose(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    m.check_structure()
+    np.testing.assert_allclose(np.asarray(m.to_dense()), d)
+    np.testing.assert_allclose(np.asarray(m.T.to_dense()), d.T)
+    np.testing.assert_allclose(
+        np.asarray(m.to_other_storage().to_dense()), d
+    )
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_spmv_spmm(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    x = rng.standard_normal(d.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(st.spmv(m, x)), d @ x, rtol=1e-10, atol=1e-12
+    )
+    k = int(rng.integers(1, 6))
+    X = rng.standard_normal((d.shape[1], k))
+    np.testing.assert_allclose(
+        np.asarray(st.spmm(m, X)), d @ X, rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_spgemm_vs_scipy(seed):
+    rng, d, storage = rand_case(seed)
+    e = rng.standard_normal((d.shape[1], int(rng.integers(1, 30))))
+    e[rng.random(e.shape) > 0.3] = 0.0
+    a = st.from_dense(d, storage=storage)
+    b = st.from_dense(e)
+    c = st.spgemm(a, b)
+    c.check_structure()
+    ref = a.to_scipy() @ b.to_scipy()
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), ref.toarray(), rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_add_sub_mul(seed):
+    rng, d, storage = rand_case(seed)
+    e = rng.standard_normal(d.shape)
+    e[rng.random(d.shape) > 0.3] = 0.0
+    a = st.from_dense(d, storage=storage)
+    b = st.from_dense(e)
+    np.testing.assert_allclose(
+        np.asarray((a + b).to_dense()), d + e, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((a - b).to_dense()), d - e, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((a * b).to_dense()), d * e, rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_formats_roundtrip(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d)
+    np.testing.assert_allclose(np.asarray(m.to_ell().to_dense()), d)
+    np.testing.assert_allclose(
+        np.asarray(m.to_bsr(8).to_dense()), d, rtol=1e-6
+    )
+    dia = m.to_dia()
+    np.testing.assert_allclose(np.asarray(dia.to_dense()), d, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_triplet_duplicates(seed):
+    rng = np.random.default_rng(seed + 100)
+    r, c = int(rng.integers(2, 20)), int(rng.integers(2, 20))
+    n = int(rng.integers(1, 60))
+    rows = rng.integers(0, r, n)
+    cols = rng.integers(0, c, n)
+    vals = rng.standard_normal(n)
+    m = st.TriMat.from_triplets((r, c), rows, cols, vals).to_csr()
+    m.check_structure()
+    ref = np.zeros((r, c))
+    np.add.at(ref, (rows, cols), vals)
+    np.testing.assert_allclose(
+        np.asarray(m.to_dense()), ref, rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_permutations(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    p = st.Permutation.from_array(
+        np.random.default_rng(seed).permutation(d.shape[0]).astype(np.int32)
+    )
+    perm_rows = np.asarray(st.permute_rows(m, p).to_dense())
+    np.testing.assert_allclose(perm_rows, d[np.asarray(p.perm)], rtol=1e-10)
