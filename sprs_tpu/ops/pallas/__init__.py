@@ -17,12 +17,19 @@ Both run in interpreter mode on any backend (``interpret=True``), which
 is how the CPU test suite exercises them.
 """
 
-from .bsr_spmm import bsr_spmm_pallas, bsr_spmv_pallas
+from .bsr_spmm import (
+    bsr_group,
+    bsr_spmm_pallas,
+    bsr_spmm_pallas_grouped,
+    bsr_spmv_pallas,
+)
 from .dia_spmv import dia_spmv_pallas
 from .spmv import ell_spmv_pallas
 
 __all__ = [
+    "bsr_group",
     "bsr_spmm_pallas",
+    "bsr_spmm_pallas_grouped",
     "bsr_spmv_pallas",
     "dia_spmv_pallas",
     "ell_spmv_pallas",

@@ -218,6 +218,28 @@ class TestBsr:
         b = st.from_dense(d).to_bsr(8)
         np.testing.assert_allclose(np.asarray(b.to_dense()), d)
 
+    def test_grouped_matches(self):
+        from sprs_tpu.ops.pallas import bsr_group, bsr_spmm_pallas_grouped
+
+        d = random_block_dense(5, 4, 8, 0.4, seed=17)
+        b = bsr_group(bsr_from_dense(d, 8), 4)
+        assert b.n_blocks % 4 == 0
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+        x = RNG.standard_normal((32, 16)).astype(np.float32)
+        y = bsr_spmm_pallas_grouped(b, x, group=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_grouped_empty_row(self):
+        from sprs_tpu.ops.pallas import bsr_group, bsr_spmm_pallas_grouped
+
+        d = np.zeros((24, 24), np.float32)
+        d[0, 0] = 2.0
+        d[17, 5] = -1.0  # block rows 0 and 2; row 1 empty
+        b = bsr_group(bsr_from_dense(d, 8), 2)
+        x = RNG.standard_normal((24, 8)).astype(np.float32)
+        y = bsr_spmm_pallas_grouped(b, x, group=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-5)
+
 
 # ---------------------------------------------------------------------------
 # DIA format + kernel
