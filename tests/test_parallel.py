@@ -169,6 +169,35 @@ class TestHalo:
         with pytest.raises(st.ShapeError):
             shard_csr_rows_halo(st.from_dense(np.ones((4, 6))), 2)
 
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_overlap_split(self, n_shards):
+        from sprs_tpu.parallel import (
+            dist_spmv_halo_overlap,
+            shard_csr_rows_halo_split,
+        )
+
+        lap = st.utils.grid_laplacian((8, 8), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        dm = shard_csr_rows_halo_split(lap, n_shards)
+        x = RNG.standard_normal(64)
+        y = np.asarray(
+            dist_spmv_halo_overlap(dm, x, mesh_1d(n_shards))
+        )[:64]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_overlap_split_diag(self):
+        from sprs_tpu.parallel import (
+            dist_spmv_halo_overlap,
+            shard_csr_rows_halo_split,
+        )
+
+        d = np.diag(np.arange(1.0, 17.0))
+        dm = shard_csr_rows_halo_split(st.from_dense(d), 4)
+        assert dm.halo == 0
+        x = RNG.standard_normal(16)
+        y = np.asarray(dist_spmv_halo_overlap(dm, x, mesh_1d(4)))[:16]
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
     def test_matches_allgather_path(self):
         lap = st.utils.grid_laplacian((6, 6), dtype=np.float64)
         x = RNG.standard_normal(36)
