@@ -23,6 +23,7 @@ from .bsr_spmm import (
     bsr_spmm_pallas_grouped,
     bsr_spmv_pallas,
 )
+from .dia_spmm import dia_spmm_pallas
 from .dia_spmv import dia_spmv_pallas
 from .spmv import ell_spmv_pallas
 
@@ -31,6 +32,7 @@ __all__ = [
     "bsr_spmm_pallas",
     "bsr_spmm_pallas_grouped",
     "bsr_spmv_pallas",
+    "dia_spmm_pallas",
     "dia_spmv_pallas",
     "ell_spmv_pallas",
 ]

@@ -316,6 +316,35 @@ class TestDia:
         y = dia_spmv_pallas(dia, x, interpret=True)
         np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
 
+    def test_spmm_pallas_matches(self):
+        from sprs_tpu.ops.pallas import dia_spmm_pallas
+
+        d = banded_dense(48, self.OFFS, seed=26)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal((48, 6)).astype(np.float32)
+        y = dia_spmm_pallas(dia, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+    def test_spmm_pallas_vjp(self):
+        from sprs_tpu.ops.pallas import dia_spmm_pallas
+
+        d = banded_dense(24, (-1, 0, 3), seed=27)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal((24, 4)).astype(np.float32)
+
+        def loss_p(data, x):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum(dia_spmm_pallas(m, x, interpret=True) ** 2)
+
+        def loss_o(data, x):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum(dia_spmm(m, x) ** 2)
+
+        gd, gx = jax.grad(loss_p, argnums=(0, 1))(dia.data, x)
+        gd0, gx0 = jax.grad(loss_o, argnums=(0, 1))(dia.data, x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gd0), rtol=1e-4)
+
     def test_pallas_vjp(self):
         d = banded_dense(32, (-1, 0, 2), seed=25)
         dia = st.from_dense(d).to_dia()
