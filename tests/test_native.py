@@ -1,0 +1,120 @@
+"""Native C++ host library vs pure-Python fallbacks.
+
+Every native entry point must agree with the numpy path — the analog of
+the reference trusting SuiteSparse only because sprs-ldl reproduces it
+(sprs-ldl/src/lib.rs golden tests).
+"""
+
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def spd_pattern(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, n))
+    d[rng.random((n, n)) > 0.2] = 0.0
+    d = (d + d.T) / 2
+    d += np.eye(n) * (np.abs(d).sum(1).max() + 1)
+    m = st.from_dense(d)
+    nnz = int(m.nnz)
+    return (
+        np.asarray(m.indptr),
+        np.asarray(m.indices)[:nnz],
+        np.asarray(m.data)[:nnz],
+        n,
+        d,
+    )
+
+
+class TestNativeParity:
+    def test_etree(self):
+        indptr, indices, _, n, _ = spd_pattern()
+        from sprs_tpu.linalg.etree import etree_from_pattern
+
+        native_parent = native.etree(indptr, indices, n)
+        py_parent = etree_from_pattern(indptr, indices, n)
+        np.testing.assert_array_equal(native_parent, py_parent)
+
+    def test_rcm(self):
+        indptr, indices, _, n, _ = spd_pattern(seed=1)
+        perm, parts = native.rcm(indptr, indices, n)
+        assert sorted(perm.tolist()) == list(range(n))
+        assert parts[0] == 0 and parts[-1] == n
+
+    def test_tri_levels_lower(self):
+        # lower-triangular part of the SPD pattern
+        indptr, indices, data, n, d = spd_pattern(seed=2)
+        low = np.tril(d)
+        m = st.from_dense(low)
+        nnz = int(m.nnz)
+        ip = np.asarray(m.indptr)
+        ix = np.asarray(m.indices)[:nnz]
+        level, n_levels = native.tri_levels(ip, ix, n, lower=True)
+        # validate: each row's deps are in strictly earlier levels
+        for i in range(n):
+            for p in range(ip[i], ip[i + 1]):
+                j = ix[p]
+                if j < i:
+                    assert level[j] < level[i]
+        assert n_levels == int(level.max()) + 1
+
+    def test_gauss_seidel_converges(self):
+        indptr, indices, data, n, d = spd_pattern(seed=3)
+        b = np.linspace(1, 2, n)
+        x0 = np.zeros(n)
+        x, it, res = native.gauss_seidel(
+            indptr, indices, data.astype(np.float64), b, x0, 1e-10, 500
+        )
+        np.testing.assert_allclose(x, np.linalg.solve(d, b), rtol=1e-7)
+        assert res <= 1e-10
+
+    def test_min_degree_is_permutation(self):
+        indptr, indices, _, n, _ = spd_pattern(seed=4)
+        perm = native.min_degree(indptr, indices, n)
+        assert sorted(perm.tolist()) == list(range(n))
+
+    def test_lu_matches_python(self):
+        rng = np.random.default_rng(5)
+        n = 25
+        d = rng.standard_normal((n, n))
+        d[rng.random((n, n)) > 0.2] = 0.0
+        d += np.eye(n) * (np.abs(d).sum(1).max() + 1)
+        m = st.from_dense(d).to_csc()
+        nnz = int(m.nnz)
+        qptr = np.asarray(m.indptr).astype(np.int64)
+        qidx = np.asarray(m.indices)[:nnz].astype(np.int64)
+        qdat = np.asarray(m.data)[:nnz].astype(np.float64)
+        out = native.lu(qptr, qidx, qdat, n, 0.1)
+        assert out is not None
+        li, lx, ld, ui, ux, ud, perm_r = out
+        from sprs_tpu.linalg.lu import _cols_to_csc, _lu_gilbert_peierls
+
+        plr, plv, pur, puv, pperm = _lu_gilbert_peierls(
+            qptr, qidx, qdat, n, 0.1
+        )
+        pli, plx, pld = _cols_to_csc(plr, plv, n, np.float64, True)
+        pui, pux, pud = _cols_to_csc(pur, puv, n, np.float64, False)
+        np.testing.assert_array_equal(perm_r, pperm)
+        np.testing.assert_array_equal(li, pli)
+        np.testing.assert_array_equal(lx, plx)
+        np.testing.assert_allclose(ld, pld, rtol=1e-14)
+        np.testing.assert_array_equal(ui, pui)
+        np.testing.assert_array_equal(ux, pux)
+        np.testing.assert_allclose(ud, pud, rtol=1e-14)
+
+    def test_ldl_symbolic(self):
+        indptr, indices, _, n, _ = spd_pattern(seed=6)
+        out = native.ldl_symbolic(indptr, indices, n)
+        assert out is not None
+        parent, col_count, row_count, total = out
+        assert total == int(col_count.sum())
+        # parents point forward (etree property)
+        for k in range(n):
+            assert parent[k] == -1 or parent[k] > k
