@@ -569,6 +569,30 @@ class CsMat:
             )
         )
 
+    def outer_vectors(self):
+        """Iterate (outer_index, CsVec) over outer dimensions — the
+        reference's outer_iterator (csmat.rs:1150-1163).  Host-only
+        generator; each vector is a zero-copy-ish view of one row/col.
+        """
+        from .csvec import CsVec
+
+        indptr = np.asarray(self.indptr)
+        for o in range(self.outer_dims):
+            lo, hi = int(indptr[o]), int(indptr[o + 1])
+            n = hi - lo
+            idx = self.indices[lo:hi] if n else jnp.zeros((1,), INDEX_DTYPE)
+            dat = (
+                self.data[lo:hi]
+                if n
+                else jnp.zeros((1,), self.data.dtype)
+            )
+            yield o, CsVec(
+                idx,
+                dat,
+                jnp.asarray(n, INDEX_DTYPE),
+                self.inner_dims,
+            )
+
     def outer_blocks(self, block_size: int):
         """Iterate (start, CsMat) outer-dimension chunks
         (outer_block_iter, csmat.rs:1272-1286).  Host-only generator."""
