@@ -24,7 +24,7 @@ from .bsr_spmm import (
     bsr_spmv_pallas,
 )
 from .dia_spmm import dia_spmm_pallas
-from .dia_spmv import dia_spmv_pallas
+from .dia_spmv import DiaTiledMat, dia_spmv_pallas, dia_tile
 from .spmv import ell_spmv_pallas
 
 __all__ = [
@@ -33,6 +33,8 @@ __all__ = [
     "bsr_spmm_pallas_grouped",
     "bsr_spmv_pallas",
     "dia_spmm_pallas",
+    "DiaTiledMat",
     "dia_spmv_pallas",
+    "dia_tile",
     "ell_spmv_pallas",
 ]

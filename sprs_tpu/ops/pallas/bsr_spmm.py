@@ -38,6 +38,7 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 from ...errors import ShapeError
+from ._common import compiler_params as _compiler_params
 from ...formats.bsr import BsrMat
 
 
@@ -101,6 +102,7 @@ def _pallas_spmm(brows, bcols, blocks, xp, n_block_rows, interpret):
             + n_block_rows * bs * k * out_dtype.itemsize,
             transcendentals=0,
         ),
+        **_compiler_params(interpret),
     )(brows, bcols, blocks, xp)
 
 
@@ -314,5 +316,6 @@ def bsr_spmm_pallas_grouped(
             + bsr.n_block_rows * bs * kp * out_dtype.itemsize,
             transcendentals=0,
         ),
+        **_compiler_params(interpret),
     )(bsr.brows, bsr.bcols, bsr.blocks, xp)
     return y[: bsr.rows, :k]

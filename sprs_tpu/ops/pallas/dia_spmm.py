@@ -34,6 +34,7 @@ except Exception:  # pragma: no cover
 
 from ...errors import ShapeError
 from ...formats.dia import DiaMat, dia_spmm
+from ._common import compiler_params as _compiler_params
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,6 +104,7 @@ def _dia_spmm_pallas(data, xg, offsets, blk, kt, interpret):
             ),
             transcendentals=0,
         ),
+        **_compiler_params(interpret),
     )(data, xg, xg)
     return y
 

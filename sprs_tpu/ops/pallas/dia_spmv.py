@@ -36,6 +36,7 @@ except Exception:  # pragma: no cover
 
 from ...errors import ShapeError
 from ...formats.dia import DiaMat, dia_spmv
+from ._common import compiler_params as _compiler_params
 
 
 def _round_up(x: int, m: int) -> int:
@@ -82,12 +83,200 @@ def _make_kernel(offsets, blk, acc_dtype):
     return kernel
 
 
+def _make_lag_kernel(offsets, blk, acc_dtype):
+    """Pipeline-lag variant: only the center block streams in; output
+    for row block i-1 is computed at step i from two carried blocks —
+    x crosses HBM exactly once (traffic (k+2)n, the speed of light)."""
+
+    def kernel(dat_ref, c_ref, o_ref, c1_ref, c2_ref):
+        i = pl.program_id(0)
+        c = c_ref[:].reshape(1, blk)
+
+        @pl.when(i == 0)
+        def _zero():
+            c1_ref[:] = jnp.zeros_like(c1_ref)
+            c2_ref[:] = jnp.zeros_like(c2_ref)
+
+        @pl.when(i > 0)
+        def _compute():
+            whole = jnp.concatenate(
+                [
+                    c2_ref[:].reshape(1, blk),
+                    c1_ref[:].reshape(1, blk),
+                    c,
+                ],
+                axis=1,
+            )
+            acc = jnp.zeros((1, blk), acc_dtype)
+            for d, off in enumerate(offsets):
+                rolled = _roll(whole, -off, axis=1)
+                xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                acc = acc + (
+                    dat_ref[d, :].reshape(1, blk) * xs
+                ).astype(acc_dtype)
+            o_ref[:] = acc.reshape(blk).astype(o_ref.dtype)
+
+        c2_ref[:] = c1_ref[:]
+        c1_ref[:] = c.reshape(blk)
+
+    return kernel
+
+
+def _make_flat_lag_kernel(offsets, blk, acc_dtype):
+    """Lag kernel over flat-tiled data: the whole (k·blk) diagonal tile
+    of a row block is ONE contiguous HBM segment, so each grid step
+    issues 3 DMA transfers (data, x, y) instead of k+2.  Measured v5e
+    (16M rows, k=5, warmed chip): 184-193 GB/s useful vs 168 for the
+    strided (k, blk) tile — per-transfer pipeline overhead, not
+    bandwidth, is the binding constraint at these shapes."""
+
+    def kernel(dat_ref, c_ref, o_ref, c1_ref, c2_ref):
+        i = pl.program_id(0)
+        c = c_ref[:].reshape(1, blk)
+
+        @pl.when(i == 0)
+        def _zero():
+            c1_ref[:] = jnp.zeros_like(c1_ref)
+            c2_ref[:] = jnp.zeros_like(c2_ref)
+
+        @pl.when(i > 0)
+        def _compute():
+            whole = jnp.concatenate(
+                [
+                    c2_ref[:].reshape(1, blk),
+                    c1_ref[:].reshape(1, blk),
+                    c,
+                ],
+                axis=1,
+            )
+            acc = jnp.zeros((1, blk), acc_dtype)
+            for d, off in enumerate(offsets):
+                rolled = _roll(whole, -off, axis=1)
+                xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                acc = acc + (
+                    dat_ref[d * blk : (d + 1) * blk].reshape(1, blk) * xs
+                ).astype(acc_dtype)
+            o_ref[:] = acc.reshape(blk).astype(o_ref.dtype)
+
+        c2_ref[:] = c1_ref[:]
+        c1_ref[:] = c.reshape(blk)
+
+    return kernel
+
+
+def tile_dia_data(data: jax.Array, blk: int) -> jax.Array:
+    """(n_diags, rows_blk) → flat (n_blocks·n_diags·blk,) tiled layout:
+    row block i's k diagonal segments are contiguous.  One device
+    transpose; prepare once, multiply many (DiaTiledMat)."""
+    k, rows_blk = data.shape
+    nb = rows_blk // blk
+    return (
+        data.reshape(k, nb, blk).transpose(1, 0, 2).reshape(nb * k * blk)
+    )
+
+
+def untile_dia_data(dflat: jax.Array, n_diags: int, blk: int) -> jax.Array:
+    nb = dflat.shape[0] // (n_diags * blk)
+    return (
+        dflat.reshape(nb, n_diags, blk)
+        .transpose(1, 0, 2)
+        .reshape(n_diags, nb * blk)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _dia_spmv_pallas(data, xg, offsets, blk, interpret):
+def _dia_spmv_flat(dflat, xg, offsets, blk, interpret):
+    n_diags = len(offsets)
+    rows_blk = dflat.shape[0] // n_diags
+    n_blocks = rows_blk // blk
+    out_dtype = jnp.promote_types(dflat.dtype, xg.dtype)
+    acc_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    return pl.pallas_call(
+        _make_flat_lag_kernel(offsets, blk, acc_dtype),
+        grid=(n_blocks + 1,),
+        in_specs=[
+            pl.BlockSpec(
+                (n_diags * blk,),
+                lambda i: (jnp.maximum(i - 1, 0),),
+                memory_space=_VMEM,
+            ),
+            pl.BlockSpec((blk,), lambda i: (i + 1,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (blk,),
+            lambda i: (jnp.maximum(i - 1, 0),),
+            memory_space=_VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_blk,), out_dtype),
+        scratch_shapes=[
+            _scratch(blk, xg.dtype),
+            _scratch(blk, xg.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_diags * rows_blk,
+            bytes_accessed=dflat.size * dflat.dtype.itemsize
+            + xg.size * xg.dtype.itemsize
+            + rows_blk * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        **_compiler_params(interpret),
+    )(dflat, xg)
+
+
+def _flat_fwd(dflat, xg, offsets, blk, interpret):
+    return _dia_spmv_flat(dflat, xg, offsets, blk, interpret), (dflat, xg)
+
+
+def _flat_bwd(offsets, blk, interpret, res, g):
+    dflat, xg = res
+    n_diags = len(offsets)
+    data = untile_dia_data(dflat, n_diags, blk)
+    ddata, dxg = _bwd(offsets, blk, interpret, "lag", (data, xg), g)
+    return tile_dia_data(ddata, blk), dxg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dia_spmv_pallas(data, xg, offsets, blk, interpret, variant):
     n_diags, rows_blk = data.shape
     n_blocks = rows_blk // blk
     out_dtype = jnp.promote_types(data.dtype, xg.dtype)
     acc_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    if variant == "lag":
+        y = pl.pallas_call(
+            _make_lag_kernel(offsets, blk, acc_dtype),
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_diags, blk),
+                    lambda i: (0, jnp.maximum(i - 1, 0)),
+                    memory_space=_VMEM,
+                ),
+                pl.BlockSpec(
+                    (blk,), lambda i: (i + 1,), memory_space=_VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (blk,),
+                lambda i: (jnp.maximum(i - 1, 0),),
+                memory_space=_VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * blk,), out_dtype),
+            scratch_shapes=[
+                _scratch(blk, xg.dtype),
+                _scratch(blk, xg.dtype),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_diags * rows_blk,
+                bytes_accessed=data.size * data.dtype.itemsize
+                + xg.size * xg.dtype.itemsize
+                + rows_blk * out_dtype.itemsize,
+                transcendentals=0,
+            ),
+            **_compiler_params(interpret),
+        )(data, xg)
+        return y
     y = pl.pallas_call(
         _make_kernel(offsets, blk, acc_dtype),
         grid=(n_blocks,),
@@ -109,15 +298,19 @@ def _dia_spmv_pallas(data, xg, offsets, blk, interpret):
             + rows_blk * out_dtype.itemsize,
             transcendentals=0,
         ),
+        **_compiler_params(interpret),
     )(data, xg, xg)
     return y
 
 
-def _fwd(data, xg, offsets, blk, interpret):
-    return _dia_spmv_pallas(data, xg, offsets, blk, interpret), (data, xg)
+def _fwd(data, xg, offsets, blk, interpret, variant):
+    return _dia_spmv_pallas(data, xg, offsets, blk, interpret, variant), (
+        data,
+        xg,
+    )
 
 
-def _bwd(offsets, blk, interpret, res, g):
+def _bwd(offsets, blk, interpret, variant, res, g):
     data, xg = res
     rows_blk = data.shape[1]
     ddata = []
@@ -135,6 +328,7 @@ def _bwd(offsets, blk, interpret, res, g):
 
 
 _dia_spmv_pallas.defvjp(_fwd, _bwd)
+_dia_spmv_flat.defvjp(_flat_fwd, _flat_bwd)
 
 
 def _scratch(blk: int, dtype):
@@ -148,23 +342,54 @@ def _pick_blk(band: int, rows: int, n_diags: int, itemsize: int) -> int:
     """Row-block autotune: large blocks amortize per-step overhead
     (65536 measured best on v5e: 600us vs 816us at 4096 for the 4.2M-row
     Laplacian); cap by a VMEM budget.  Per step the kernel holds ~2x
-    double-buffered (n_diags+4)*blk elements plus ~6*blk of temporaries.
-    """
-    budget = 10 * 1024 * 1024
+    double-buffered (n_diags+4)*blk elements plus ~40*blk of window
+    temporaries (the (1, 3·blk) concat/roll buffers carry 8x sublane
+    padding).  Budget is half of _common.VMEM_LIMIT_BYTES, leaving the
+    other half for XLA to stage the whole x/y operands in VMEM when they
+    fit (measured v5e sweep: k=33 @ blk 8192-65536 all ~195 GB/s useful,
+    0.87x copy peak; no size ran faster below 65536)."""
+    budget = 48 * 1024 * 1024
     blk = 65536
-    while blk > 1024 and (2 * (n_diags + 4) + 6) * blk * itemsize > budget:
+    while blk > 1024 and (2 * (n_diags + 4) + 40) * blk * itemsize > budget:
         blk //= 2
     return max(blk, _round_up(band, 1024), 1024)
 
 
+def _pad_operands(dia: DiaMat, x: jax.Array, blk: int):
+    rows_blk = _round_up(max(dia.rows, dia.cols, 1), blk)
+    # data padded to (n_diags, rows_blk); x embedded with guard blocks:
+    # xg[blk + t] = x[t] for t < cols, zero elsewhere.
+    data = dia.data
+    if data.shape[1] != rows_blk:
+        data = jnp.zeros((dia.n_diags, rows_blk), data.dtype).at[
+            :, : data.shape[1]
+        ].set(data[:, :rows_blk] if data.shape[1] > rows_blk else data)
+    xg = jnp.zeros((rows_blk + 2 * blk,), x.dtype).at[
+        blk : blk + dia.cols
+    ].set(x)
+    return data, xg
+
+
 def dia_spmv_pallas(
-    dia: DiaMat, x: jax.Array, *, blk: int = None, interpret: bool = False
+    dia: DiaMat,
+    x: jax.Array,
+    *,
+    blk: int = None,
+    variant: str = "lag",
+    interpret: bool = False,
 ) -> jax.Array:
     """y = A @ x with the Pallas diagonal kernel.
 
     Requires bandwidth <= block size; wider bands fall back to the XLA
     DIA path.  ``blk`` overrides the autotuned row-block size (must be a
-    multiple of 1024).
+    multiple of 1024).  ``variant``:
+
+    - "lag" (default): x crosses HBM once via a one-step output lag —
+      the traffic optimum (k·n + n + n).
+    - "carry": x fetched twice, one carried neighbor block.
+    - "flat": lag schedule over flat-tiled data (3 contiguous DMA
+      transfers per step instead of k+2; fastest measured, but pays a
+      per-call retile — use :class:`DiaTiledMat` to amortize it).
     """
     x = jnp.asarray(x)
     if x.shape != (dia.cols,):
@@ -177,16 +402,87 @@ def dia_spmv_pallas(
     if band > blk:
         return dia_spmv(dia, x)
 
+    data, xg = _pad_operands(dia, x, blk)
+    if variant == "flat":
+        dflat = tile_dia_data(data, blk)
+        y = _dia_spmv_flat(dflat, xg, dia.offsets, blk, interpret)
+    else:
+        y = _dia_spmv_pallas(
+            data, xg, dia.offsets, blk, interpret, variant
+        )
+    return y[: dia.rows]
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaTiledMat:
+    """Prepared DIA operand for repeated SpMV (solver loops).
+
+    Holds the diagonals in the flat-tiled layout the "flat" kernel
+    streams as one contiguous DMA per row block; build once with
+    :func:`dia_tile` (one device transpose), multiply many times.
+    """
+
+    def __init__(self, dflat, offsets, shape, blk):
+        self.dflat = dflat
+        self.offsets = tuple(offsets)
+        self.shape = tuple(shape)
+        self.blk = blk
+
+    def tree_flatten(self):
+        return (self.dflat,), (self.offsets, self.shape, self.blk)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        offsets, shape, blk = aux
+        return cls(leaves[0], offsets, shape, blk)
+
+    @property
+    def rows(self):
+        return self.shape[0]
+
+    @property
+    def cols(self):
+        return self.shape[1]
+
+    def spmv(self, x: jax.Array, *, interpret: bool = None) -> jax.Array:
+        if interpret is None:
+            # convenience surfaces (__matmul__, solver loops) work on
+            # any backend; compiled Mosaic only exists on TPU
+            interpret = jax.default_backend() != "tpu"
+        x = jnp.asarray(x)
+        if x.shape != (self.cols,):
+            raise ShapeError(
+                f"dia_spmv: A is {self.shape}, x is {x.shape}"
+            )
+        blk = self.blk
+        rows_blk = self.dflat.shape[0] // len(self.offsets)
+        xg = jnp.zeros((rows_blk + 2 * blk,), x.dtype).at[
+            blk : blk + self.cols
+        ].set(x)
+        y = _dia_spmv_flat(self.dflat, xg, self.offsets, blk, interpret)
+        return y[: self.rows]
+
+    def __matmul__(self, x):
+        return self.spmv(x)
+
+
+def dia_tile(dia: DiaMat, *, blk: int = None) -> DiaTiledMat:
+    """Prepare a :class:`DiaTiledMat` from a :class:`DiaMat`."""
+    band = dia.bandwidth
+    if blk is None:
+        blk = _pick_blk(
+            band, dia.rows, dia.n_diags, dia.data.dtype.itemsize
+        )
+    if band > blk:
+        raise ShapeError(
+            f"dia_tile: bandwidth {band} exceeds block size {blk}"
+        )
     rows_blk = _round_up(max(dia.rows, dia.cols, 1), blk)
-    # data padded to (n_diags, rows_blk); x embedded with guard blocks:
-    # xg[blk + t] = x[t] for t < cols, zero elsewhere.
     data = dia.data
     if data.shape[1] != rows_blk:
         data = jnp.zeros((dia.n_diags, rows_blk), data.dtype).at[
             :, : data.shape[1]
         ].set(data[:, :rows_blk] if data.shape[1] > rows_blk else data)
-    xg = jnp.zeros((rows_blk + 2 * blk,), x.dtype).at[
-        blk : blk + dia.cols
-    ].set(x)
-    y = _dia_spmv_pallas(data, xg, dia.offsets, blk, interpret)
-    return y[: dia.rows]
+    return DiaTiledMat(
+        tile_dia_data(data, blk), dia.offsets, dia.shape, blk
+    )

@@ -37,9 +37,12 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 from ...formats.ell import EllMat, ell_spmv
+from ._common import compiler_params as _compiler_params
 
-# VMEM budget for keeping x resident (leave headroom out of ~16 MB/core).
-_X_VMEM_BYTES = 8 * 1024 * 1024
+# VMEM budget for keeping x resident.  With the raised scoped-VMEM
+# limit (_common.VMEM_LIMIT_BYTES) x can stay resident up to ~48 MB
+# while leaving half the limit for the streamed row tiles.
+_X_VMEM_BYTES = 48 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,6 +97,7 @@ def _ell_spmv_pallas(indices, data, x, shape, interpret):
             + rows_pad * data.dtype.itemsize,
             transcendentals=0,
         ),
+        **_compiler_params(interpret),
     )(indices, data, x)
     return out[: shape[0]]
 

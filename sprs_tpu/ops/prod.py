@@ -81,9 +81,11 @@ def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
     if k <= 32:
         dia = dia_from_csmat(mat)
         if use_pallas:
-            from .pallas import dia_spmv_pallas
+            from .pallas import dia_tile
 
-            return (lambda m, x: dia_spmv_pallas(m, x)), dia
+            # prepare-once flat tiling: each kernel step streams the
+            # row block's diagonals as ONE contiguous DMA transfer
+            return (lambda m, x: m.spmv(x)), dia_tile(dia)
         return (lambda m, x: dia_spmv(m, x)), dia
     if ell_overhead(mat) < 1.0:
         return (lambda m, x: ell_spmv(m, x)), ell_from_csmat(mat)
