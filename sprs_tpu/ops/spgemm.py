@@ -39,12 +39,13 @@ from ..formats.util import INDEX_DTYPE, compress_coo, is_concrete
 def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
     """Enumerate partial products of CSR a × CSR b as padded COO arrays.
 
-    Per-product work is four random gathers (two from A-entry-sized
-    arrays, two from B-entry-sized arrays) plus two scatter+cumsum
-    passes.  Ownership maps (which A-entry / which A-row produced flat
-    product t) use the scatter-ones + prefix-sum trick instead of
-    searchsorted — a binary search is log2(n) rounds of random gathers
-    and measured ~7x slower on TPU at 5.6M products.
+    Per-product work is TWO random gathers (B's index and value; the
+    A-side per-product values ride exact delta-broadcasts, see
+    _seg_broadcast_exact) plus scatter+cumsum passes.  Ownership maps
+    (which A-row produced flat product t) use the scatter-ones +
+    prefix-sum trick instead of searchsorted — a binary search is
+    log2(n) rounds of random gathers and measured ~7x slower on TPU at
+    5.6M products.
     """
     return _expand_from_rows(
         a,
@@ -54,6 +55,39 @@ def _expand_products(a: CsMat, b: CsMat, prod_cap: int):
         b.data,
         prod_cap,
     )
+
+
+def _seg_broadcast_exact(vals, tgt, prod_cap: int):
+    """Broadcast per-segment values to per-product slots WITHOUT a
+    random gather: scatter the wrapping-integer DELTA of each value's
+    bit pattern at its segment start, then prefix-sum.  Telescoping
+    holds exactly in modular arithmetic, so the result is bit-identical
+    to ``vals[p]`` for any dtype — including floats — at scatter+cumsum
+    cost instead of a prod_cap-sized random gather (~50M lookups/s flat
+    on TPU; measured 171 → 117 ms on the 3.5M-product expand).
+
+    Zero-length segments collide at the next segment's start; their
+    deltas sum (mod 2^w), and the running total after that slot is still
+    the next live value — the same property the ownership-map trick
+    relies on.
+    """
+    if jnp.issubdtype(vals.dtype, jnp.complexfloating):
+        re = _seg_broadcast_exact(jnp.real(vals), tgt, prod_cap)
+        im = _seg_broadcast_exact(jnp.imag(vals), tgt, prod_cap)
+        return jax.lax.complex(re, im)
+    itemsize = vals.dtype.itemsize
+    if itemsize >= 4:
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    else:
+        bits = jax.lax.bitcast_convert_type(
+            vals, jnp.int16 if itemsize == 2 else jnp.int8
+        )
+    d = jnp.concatenate([bits[:1], bits[1:] - bits[:-1]])
+    buf = jnp.zeros((prod_cap,) + bits.shape[1:], bits.dtype).at[
+        tgt
+    ].add(d, mode="drop")
+    out_bits = jnp.cumsum(buf, axis=0, dtype=bits.dtype)
+    return jax.lax.bitcast_convert_type(out_bits, vals.dtype)
 
 
 def _expand_from_rows(
@@ -75,21 +109,18 @@ def _expand_from_rows(
     offsets = jnp.cumsum(b_len)  # inclusive scan, (cap_a,)
     total = offsets[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
     starts_all = offsets - b_len  # per A-entry start of its range
-    # per-entry "q-base": q = adj[p] + t with no further gathers
+    # per-entry "q-base": q = adj_p + t with no per-product A gathers
     adj = b_starts[k] - starts_all
 
     t = jnp.arange(prod_cap, dtype=INDEX_DTYPE)
-    # A-entry ownership: scatter a 1 at each entry's range start,
-    # prefix-sum.  Zero-length entries collide at the next start and the
-    # cumsum skips them.
-    seg = jnp.zeros((prod_cap,), INDEX_DTYPE).at[
-        jnp.where(a_live, starts_all, prod_cap)
-    ].add(1, mode="drop")
-    p = jnp.cumsum(seg) - 1
-    p_c = jnp.clip(p, 0, cap_a - 1)
-    # A-row ownership, same trick at row granularity (saves the
-    # a_outer[p] gather): row r's products start where its first entry's
-    # range starts.
+    tgt = jnp.where(a_live, starts_all, prod_cap)
+    # Per-product A-side values via exact delta-broadcast (see
+    # _seg_broadcast_exact) — the A-entry ownership map p and its two
+    # gathers adj[p]/a.data[p] are gone entirely.
+    adj_p = _seg_broadcast_exact(adj, tgt, prod_cap)
+    aval_p = _seg_broadcast_exact(a.data, tgt, prod_cap)
+    # A-row ownership: scatter a 1 at each row's first product,
+    # prefix-sum (saves the a_outer[p] gather).
     first_entry = jnp.minimum(a.indptr[:-1], cap_a - 1)
     row_start = starts_all[first_entry]
     empty_tail = a.indptr[:-1] >= a.indptr[-1]
@@ -100,15 +131,15 @@ def _expand_from_rows(
 
     valid = t < total
     rows = jnp.where(valid, rows_raw, a.rows).astype(INDEX_DTYPE)
-    # NB: packing (idx, val) pairs into complex64 to halve gather passes
-    # measured FASTER in isolation (144 vs 176 ms at 5.6M lookups) but
-    # SLOWER end-to-end (753 vs 467 ms) — XLA overlaps the separate
-    # gathers better than it fuses the complex pack/unpack.  Keep the
-    # straightforward form.
-    q_c = jnp.minimum(adj[p_c] + t, b_cap - 1)
+    # NB: packing B's (idx, val) pairs into complex64 to halve the two
+    # remaining gather passes measured FASTER in isolation (144 vs 176
+    # ms at 5.6M lookups) but SLOWER end-to-end (753 vs 467 ms) — XLA
+    # overlaps the separate gathers better than it fuses the complex
+    # pack/unpack.  Keep the straightforward form.
+    q_c = jnp.minimum(adj_p + t, b_cap - 1)
     cols = jnp.where(valid, b_indices[q_c], 0)
     vals = jnp.where(
-        valid, a.data[p_c] * b_data[q_c], jnp.zeros((), a.data.dtype)
+        valid, aval_p * b_data[q_c], jnp.zeros((), a.data.dtype)
     )
     return rows, cols, vals, total
 
