@@ -57,7 +57,18 @@ def bicgstab(
     if isinstance(mat, CsMat):
         if mat.shape[0] != mat.shape[1]:
             raise NonSquareMatrixError(f"bicgstab needs square, got {mat.shape}")
-        a_op = lambda v: spmv(mat, v)  # noqa: E731
+        from ..formats.util import is_concrete
+
+        if is_concrete(mat.indptr, mat.indices):
+            # host-side structure dispatch: banded systems (e.g. after
+            # the RCM ordering this library ships) ride the DIA
+            # fast path instead of the scatter-bound CSR segment-sum
+            from ..ops.prod import prepare_spmv
+
+            fn, prepared = prepare_spmv(mat)
+            a_op = lambda v: fn(prepared, v)  # noqa: E731
+        else:
+            a_op = lambda v: spmv(mat, v)  # noqa: E731
         n = mat.shape[0]
     else:
         a_op = mat

@@ -78,14 +78,27 @@ def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
         use_pallas = jax.default_backend() == "tpu"
 
     k = n_diags_of(mat)
-    if k <= 32:
+    n_outer = max(mat.rows, 1)
+    nnz = int(mat.nnz)
+    # DIA pays k·n streaming traffic regardless of fill; take it when
+    # the populated diagonals are reasonably dense (streaming beats the
+    # ELL gather even at modest fill: gather is ~50M lookups/s flat
+    # while DIA streams at HBM rate) and k is small enough that the
+    # Pallas kernel compiles quickly (k=33 measured 0.87x copy peak).
+    dia_fill = nnz / max(k * n_outer, 1)
+    if k <= 32 or (k <= 64 and dia_fill >= 0.25):
         dia = dia_from_csmat(mat)
         if use_pallas:
+            from ..errors import ShapeError
             from .pallas import dia_tile
 
-            # prepare-once flat tiling: each kernel step streams the
-            # row block's diagonals as ONE contiguous DMA transfer
-            return (lambda m, x: m.spmv(x)), dia_tile(dia)
+            try:
+                # prepare-once flat tiling: each kernel step streams
+                # the row block's diagonals as ONE contiguous DMA
+                # transfer
+                return (lambda m, x: m.spmv(x)), dia_tile(dia)
+            except ShapeError:
+                pass  # bandwidth exceeds the row block: XLA DIA below
         return (lambda m, x: dia_spmv(m, x)), dia
     if ell_overhead(mat) < 1.0:
         return (lambda m, x: ell_spmv(m, x)), ell_from_csmat(mat)

@@ -26,6 +26,7 @@ All four storage combinations reduce to CSR×CSR via transpose identities
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -152,6 +153,116 @@ def _exact_prod_count(a: CsMat, b: CsMat) -> int:
     return int(b_lens[a_idx].sum()) if a_idx.size else 0
 
 
+# One lax.sort above ~10^8 elements crashes the TPU worker (observed at
+# 140M); row-chunking keeps each device sort safely under that while
+# reusing the whole single-shot path per chunk — the sequential-device
+# analog of the reference's nnz-balanced row chunking (smmp.rs:335-372).
+CHUNK_PRODUCT_BUDGET = 32 * 1024 * 1024
+
+
+def _spgemm_chunked(a: CsMat, b: CsMat, budget: int) -> CsMat:
+    """Row-chunked ESC SpGEMM for product counts beyond one sort's
+    budget.  Host (concrete) path only: boundaries are chosen on the
+    host so every chunk's expansion fits ``budget`` products, each chunk
+    runs the standard device pipeline, and the CSR results are stitched
+    with indptr offsets (construct.rs:10-45 semantics)."""
+    import numpy as np
+
+    nnz_a = int(a.nnz)
+    indptr = np.asarray(a.indptr)
+    idx = np.asarray(a.indices)[:nnz_a]
+    dat = np.asarray(a.data)[:nnz_a]
+    b_lens = np.diff(np.asarray(b.indptr))
+    per_entry = b_lens[idx] if nnz_a else np.zeros((0,), np.int64)
+    entry_prefix = np.concatenate([[0], np.cumsum(per_entry)])
+    row_prefix = entry_prefix[np.minimum(indptr, nnz_a)]
+
+    n_rows = a.rows
+    chunks = []
+    r0 = 0
+    while r0 < n_rows:
+        r1 = int(
+            np.searchsorted(row_prefix, row_prefix[r0] + budget, "right")
+            - 1
+        )
+        r1 = max(r1, r0 + 1)  # a single over-budget row still advances
+        r1 = min(r1, n_rows)
+        chunks.append((r0, r1))
+        r0 = r1
+
+    # Uniform chunk shapes (rows padded with trailing empty rows, entry
+    # arrays capacity-padded) so ONE compiled executable serves every
+    # chunk.
+    max_rows = max(r1 - r0 for r0, r1 in chunks)
+    max_ents = max(
+        int(indptr[r1] - indptr[r0]) for r0, r1 in chunks
+    )
+    max_ents = max(max_ents, 1)
+    chunk_prod_cap = int(
+        max(
+            row_prefix[r1] - row_prefix[r0] for r0, r1 in chunks
+        )
+    )
+    chunk_prod_cap = max(chunk_prod_cap, 1)
+
+    run = jax.jit(
+        functools.partial(
+            spgemm,
+            prod_cap=chunk_prod_cap,
+            out_cap=chunk_prod_cap,
+            check_capacity=False,
+        )
+    )
+
+    parts_indptr = [np.zeros((1,), np.int64)]
+    parts_indices = []
+    parts_data = []
+    base = 0
+    for r0, r1 in chunks:
+        lo, hi = int(indptr[r0]), int(indptr[r1])
+        sub_indptr = np.full((max_rows + 1,), hi - lo, np.int32)
+        sub_indptr[: r1 - r0 + 1] = indptr[r0 : r1 + 1] - lo
+        sub = CsMat(
+            jnp.asarray(sub_indptr),
+            jnp.asarray(
+                np.pad(idx[lo:hi], (0, max_ents - (hi - lo)))
+            ),
+            jnp.asarray(
+                np.pad(dat[lo:hi], (0, max_ents - (hi - lo)))
+            ),
+            (max_rows, a.cols),
+            "csr",
+        )
+        c = run(sub, b)
+        c_indptr = np.asarray(c.indptr, np.int64)
+        c_nnz = int(c_indptr[r1 - r0])  # live rows only
+        parts_indptr.append(c_indptr[1 : r1 - r0 + 1] + base)
+        parts_indices.append(np.asarray(c.indices)[:c_nnz])
+        parts_data.append(np.asarray(c.data)[:c_nnz])
+        base += c_nnz
+    out_indptr = np.concatenate(parts_indptr).astype(np.int64)
+    out_indices = (
+        np.concatenate(parts_indices)
+        if parts_indices
+        else np.zeros((0,), np.int32)
+    )
+    out_data = (
+        np.concatenate(parts_data)
+        if parts_data
+        else np.zeros((0,), dat.dtype)
+    )
+    cap = max(base, 1)
+    return CsMat(
+        jnp.asarray(out_indptr.astype(np.int32)),
+        jnp.asarray(
+            np.pad(out_indices, (0, cap - base)).astype(np.int32)
+        ),
+        jnp.asarray(np.pad(out_data, (0, cap - base))),
+        (a.rows, b.cols),
+        "csr",
+    )
+
+
 def spgemm(
     a: CsMat,
     b: CsMat,
@@ -186,7 +297,10 @@ def spgemm(
             raise ValueError(
                 "spgemm under jit requires a static prod_cap bound"
             )
-        prod_cap = max(_exact_prod_count(a, b), 1)
+        exact = _exact_prod_count(a, b)
+        if exact > CHUNK_PRODUCT_BUDGET:
+            return _spgemm_chunked(a, b, CHUNK_PRODUCT_BUDGET)
+        prod_cap = max(exact, 1)
     rows, cols, vals, total = _expand_products(a, b, prod_cap)
 
     cap0 = out_cap if out_cap is not None else prod_cap

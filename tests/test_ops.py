@@ -322,6 +322,32 @@ class TestJitAndAutodiff:
         expect = np.where(live, x[np.minimum(np.asarray(cols), 4)], 0.0)
         allclose(g, expect)
 
+    def test_spgemm_chunked_matches_single_shot(self):
+        import importlib
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(11)
+        da = (rng.random((60, 40)) * (rng.random((60, 40)) < 0.25)).astype(
+            np.float32
+        )
+        db = (rng.random((40, 50)) * (rng.random((40, 50)) < 0.25)).astype(
+            np.float32
+        )
+        da[7] = 0.0  # empty row inside a chunk
+        a, b = st.from_dense(da), st.from_dense(db)
+        ref = st.spgemm(a, b)
+        # force many chunks with a tiny budget; boundaries land
+        # mid-matrix and at empty rows
+        for budget in (16, 97, 1000):
+            c = sg._spgemm_chunked(a, b.to_csr(), budget)
+            np.testing.assert_allclose(
+                np.asarray(c.to_dense()),
+                np.asarray(ref.to_dense()),
+                rtol=1e-6,
+            )
+            assert c.is_csr
+            assert int(c.nnz) == int(ref.nnz)
+
     def test_jit_spgemm_with_caps(self):
         a = st.from_dense(DA, cap=16)
         b = st.from_dense(DB, cap=16)
