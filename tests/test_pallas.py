@@ -380,8 +380,10 @@ class TestDia:
         d = banded_dense(48, self.OFFS, seed=26)
         dia = st.from_dense(d).to_dia()
         x = RNG.standard_normal((48, 6)).astype(np.float32)
-        y = dia_spmm_pallas(dia, x, interpret=True)
+        y = dia_spmm_pallas(dia, x, interpret=True)  # lagflat default
         np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+        y2 = dia_spmm_pallas(dia, x, variant="carry", interpret=True)
+        np.testing.assert_allclose(np.asarray(y2), d @ x, rtol=1e-4)
 
     def test_spmm_pallas_vjp(self):
         from sprs_tpu.ops.pallas import dia_spmm_pallas
