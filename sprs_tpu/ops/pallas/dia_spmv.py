@@ -164,6 +164,155 @@ def _make_flat_lag_kernel(offsets, blk, acc_dtype):
     return kernel
 
 
+def _make_flatg_kernel(offsets, blk, grp, acc_dtype):
+    """Grouped flat-lag kernel: each grid step streams the flat-tiled
+    diagonal data of ``grp`` consecutive row blocks as ONE contiguous
+    DMA (plus one x supertile and one y supertile), then computes the
+    ``grp`` output blocks of the PREVIOUS supertile from VMEM — the
+    per-step transfer count stays at 3 while the bytes per step grow by
+    ``grp``, dividing the ~1-2us/transfer pipeline overhead that caps
+    the ungrouped kernel.  Scratch: previous x supertile (grp·blk) plus
+    the last block of the supertile before it (blk) for the left
+    neighbor of the group's first block."""
+
+    def kernel(dat_ref, c_ref, o_ref, c1_ref, e_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _zero():
+            c1_ref[:] = jnp.zeros_like(c1_ref)
+            e_ref[:] = jnp.zeros_like(e_ref)
+
+        @pl.when(i > 0)
+        def _compute():
+            for g in range(grp):
+                center = c1_ref[g * blk : (g + 1) * blk].reshape(1, blk)
+                if g == 0:
+                    left = e_ref[:].reshape(1, blk)
+                else:
+                    left = c1_ref[(g - 1) * blk : g * blk].reshape(1, blk)
+                if g == grp - 1:
+                    right = c_ref[0:blk].reshape(1, blk)
+                else:
+                    right = c1_ref[(g + 1) * blk : (g + 2) * blk].reshape(
+                        1, blk
+                    )
+                whole = jnp.concatenate([left, center, right], axis=1)
+                acc = jnp.zeros((1, blk), acc_dtype)
+                for d, off in enumerate(offsets):
+                    rolled = _roll(whole, -off, axis=1)
+                    xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                    seg = dat_ref[
+                        (g * len(offsets) + d)
+                        * blk : (g * len(offsets) + d + 1)
+                        * blk
+                    ]
+                    acc = acc + (seg.reshape(1, blk) * xs).astype(
+                        acc_dtype
+                    )
+                o_ref[g * blk : (g + 1) * blk] = acc.reshape(blk).astype(
+                    o_ref.dtype
+                )
+
+        e_ref[:] = c1_ref[(grp - 1) * blk : grp * blk]
+        c1_ref[:] = c_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dia_spmv_flatg(dflat, xg, offsets, blk, grp, interpret):
+    n_diags = len(offsets)
+    rows_blk = dflat.shape[0] // n_diags
+    sup = grp * blk
+    n_tiles = rows_blk // sup
+    out_dtype = jnp.promote_types(dflat.dtype, xg.dtype)
+    acc_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    return pl.pallas_call(
+        _make_flatg_kernel(offsets, blk, grp, acc_dtype),
+        grid=(n_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec(
+                (n_diags * sup,),
+                lambda i: (jnp.maximum(i - 1, 0),),
+                memory_space=_VMEM,
+            ),
+            pl.BlockSpec((sup,), lambda i: (i + 1,), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (sup,),
+            lambda i: (jnp.maximum(i - 1, 0),),
+            memory_space=_VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_blk,), out_dtype),
+        scratch_shapes=[
+            _scratch(sup, xg.dtype),
+            _scratch(blk, xg.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_diags * rows_blk,
+            bytes_accessed=dflat.size * dflat.dtype.itemsize
+            + xg.size * xg.dtype.itemsize
+            + rows_blk * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        **_compiler_params(interpret),
+    )(dflat, xg)
+
+
+def _flatg_fwd(dflat, xg, offsets, blk, grp, interpret):
+    return _dia_spmv_flatg(dflat, xg, offsets, blk, grp, interpret), (
+        dflat,
+        xg,
+    )
+
+
+def _flatg_bwd(offsets, blk, grp, interpret, res, g):
+    dflat, xg = res
+    n_diags = len(offsets)
+    sup = grp * blk
+    data = untile_dia_data_grouped(dflat, n_diags, blk, grp)
+    rows_blk = data.shape[1]
+    ddata = []
+    dxg = jnp.zeros_like(xg)
+    for d, off in enumerate(offsets):
+        xs = jax.lax.dynamic_slice(xg, (sup + off,), (rows_blk,))
+        ddata.append(g * xs)
+        dxg = jax.lax.dynamic_update_slice(
+            dxg,
+            jax.lax.dynamic_slice(dxg, (sup + off,), (rows_blk,))
+            + data[d] * g,
+            (sup + off,),
+        )
+    ddata = jnp.stack(ddata).astype(data.dtype)
+    return tile_dia_data_grouped(ddata, blk, grp), dxg
+
+
+def tile_dia_data_grouped(data: jax.Array, blk: int, grp: int) -> jax.Array:
+    """(n_diags, rows_blk) → flat layout where each grp·blk supertile
+    holds its grp·n_diags diagonal segments contiguously, ordered
+    [tile][inner block g][diag d][blk]."""
+    k, rows_blk = data.shape
+    nt = rows_blk // (grp * blk)
+    return (
+        data.reshape(k, nt, grp, blk)
+        .transpose(1, 2, 0, 3)
+        .reshape(nt * grp * k * blk)
+    )
+
+
+def untile_dia_data_grouped(
+    dflat: jax.Array, n_diags: int, blk: int, grp: int
+) -> jax.Array:
+    nt = dflat.shape[0] // (n_diags * grp * blk)
+    return (
+        dflat.reshape(nt, grp, n_diags, blk)
+        .transpose(2, 0, 1, 3)
+        .reshape(n_diags, nt * grp * blk)
+    )
+
+
 def tile_dia_data(data: jax.Array, blk: int) -> jax.Array:
     """(n_diags, rows_blk) → flat (n_blocks·n_diags·blk,) tiled layout:
     row block i's k diagonal segments are contiguous.  One device
@@ -329,6 +478,7 @@ def _bwd(offsets, blk, interpret, variant, res, g):
 
 _dia_spmv_pallas.defvjp(_fwd, _bwd)
 _dia_spmv_flat.defvjp(_flat_fwd, _flat_bwd)
+_dia_spmv_flatg.defvjp(_flatg_fwd, _flatg_bwd)
 
 
 def _scratch(blk: int, dtype):
@@ -355,6 +505,21 @@ def _pick_blk(band: int, rows: int, n_diags: int, itemsize: int) -> int:
     return max(blk, _round_up(band, 1024), 1024)
 
 
+def _pick_grp(rows: int, blk: int, n_diags: int = 2) -> int:
+    """Blocks per grid step for the grouped flat kernel.  Grow the
+    supertile until the data DMA is >= ~4 MB (well past the point where
+    the ~1-2us/transfer overhead is amortized) while keeping at least 4
+    grid steps so the pipeline still overlaps."""
+    grp = 1
+    while (
+        grp < 16
+        and (grp * n_diags * blk * 4) < (4 << 20)
+        and (rows // (2 * grp * blk)) >= 4
+    ):
+        grp *= 2
+    return grp
+
+
 def _pad_operands(dia: DiaMat, x: jax.Array, blk: int):
     rows_blk = _round_up(max(dia.rows, dia.cols, 1), blk)
     # data padded to (n_diags, rows_blk); x embedded with guard blocks:
@@ -375,6 +540,7 @@ def dia_spmv_pallas(
     x: jax.Array,
     *,
     blk: int = None,
+    grp: int = None,
     variant: str = "lag",
     interpret: bool = False,
 ) -> jax.Array:
@@ -388,8 +554,11 @@ def dia_spmv_pallas(
       the traffic optimum (k·n + n + n).
     - "carry": x fetched twice, one carried neighbor block.
     - "flat": lag schedule over flat-tiled data (3 contiguous DMA
-      transfers per step instead of k+2; fastest measured, but pays a
-      per-call retile — use :class:`DiaTiledMat` to amortize it).
+      transfers per step instead of k+2; pays a per-call retile — use
+      :class:`DiaTiledMat` to amortize it).
+    - "flatg": grouped flat schedule — still 3 transfers per grid step
+      but each step covers ``grp`` row blocks, dividing the per-step
+      DMA-pipeline overhead that binds "flat".
     """
     x = jnp.asarray(x)
     if x.shape != (dia.cols,):
@@ -401,6 +570,25 @@ def dia_spmv_pallas(
         )
     if band > blk:
         return dia_spmv(dia, x)
+
+    if variant == "flatg":
+        if grp is None:
+            grp = _pick_grp(dia.rows, blk, dia.n_diags)
+        sup = grp * blk
+        rows_blk = _round_up(max(dia.rows, dia.cols, 1), sup)
+        data = dia.data
+        if data.shape[1] != rows_blk:
+            data = jnp.zeros((dia.n_diags, rows_blk), data.dtype).at[
+                :, : data.shape[1]
+            ].set(
+                data[:, :rows_blk] if data.shape[1] > rows_blk else data
+            )
+        xg = jnp.zeros((rows_blk + 2 * sup,), x.dtype).at[
+            sup : sup + dia.cols
+        ].set(x)
+        dflat = tile_dia_data_grouped(data, blk, grp)
+        y = _dia_spmv_flatg(dflat, xg, dia.offsets, blk, grp, interpret)
+        return y[: dia.rows]
 
     data, xg = _pad_operands(dia, x, blk)
     if variant == "flat":
@@ -417,24 +605,26 @@ def dia_spmv_pallas(
 class DiaTiledMat:
     """Prepared DIA operand for repeated SpMV (solver loops).
 
-    Holds the diagonals in the flat-tiled layout the "flat" kernel
-    streams as one contiguous DMA per row block; build once with
-    :func:`dia_tile` (one device transpose), multiply many times.
+    Holds the diagonals in the grouped flat-tiled layout the "flatg"
+    kernel streams as one contiguous DMA per grid step (``grp`` row
+    blocks per step); build once with :func:`dia_tile` (one device
+    transpose), multiply many times.
     """
 
-    def __init__(self, dflat, offsets, shape, blk):
+    def __init__(self, dflat, offsets, shape, blk, grp=1):
         self.dflat = dflat
         self.offsets = tuple(offsets)
         self.shape = tuple(shape)
         self.blk = blk
+        self.grp = grp
 
     def tree_flatten(self):
-        return (self.dflat,), (self.offsets, self.shape, self.blk)
+        return (self.dflat,), (self.offsets, self.shape, self.blk, self.grp)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        offsets, shape, blk = aux
-        return cls(leaves[0], offsets, shape, blk)
+        offsets, shape, blk, grp = aux
+        return cls(leaves[0], offsets, shape, blk, grp)
 
     @property
     def rows(self):
@@ -454,19 +644,24 @@ class DiaTiledMat:
             raise ShapeError(
                 f"dia_spmv: A is {self.shape}, x is {x.shape}"
             )
-        blk = self.blk
+        blk, grp = self.blk, self.grp
+        sup = grp * blk
         rows_blk = self.dflat.shape[0] // len(self.offsets)
-        xg = jnp.zeros((rows_blk + 2 * blk,), x.dtype).at[
-            blk : blk + self.cols
+        xg = jnp.zeros((rows_blk + 2 * sup,), x.dtype).at[
+            sup : sup + self.cols
         ].set(x)
-        y = _dia_spmv_flat(self.dflat, xg, self.offsets, blk, interpret)
+        y = _dia_spmv_flatg(
+            self.dflat, xg, self.offsets, blk, grp, interpret
+        )
         return y[: self.rows]
 
     def __matmul__(self, x):
         return self.spmv(x)
 
 
-def dia_tile(dia: DiaMat, *, blk: int = None) -> DiaTiledMat:
+def dia_tile(
+    dia: DiaMat, *, blk: int = None, grp: int = None
+) -> DiaTiledMat:
     """Prepare a :class:`DiaTiledMat` from a :class:`DiaMat`."""
     band = dia.bandwidth
     if blk is None:
@@ -477,12 +672,18 @@ def dia_tile(dia: DiaMat, *, blk: int = None) -> DiaTiledMat:
         raise ShapeError(
             f"dia_tile: bandwidth {band} exceeds block size {blk}"
         )
-    rows_blk = _round_up(max(dia.rows, dia.cols, 1), blk)
+    if grp is None:
+        grp = _pick_grp(dia.rows, blk, dia.n_diags)
+    rows_blk = _round_up(max(dia.rows, dia.cols, 1), grp * blk)
     data = dia.data
     if data.shape[1] != rows_blk:
         data = jnp.zeros((dia.n_diags, rows_blk), data.dtype).at[
             :, : data.shape[1]
         ].set(data[:, :rows_blk] if data.shape[1] > rows_blk else data)
     return DiaTiledMat(
-        tile_dia_data(data, blk), dia.offsets, dia.shape, blk
+        tile_dia_data_grouped(data, blk, grp),
+        dia.offsets,
+        dia.shape,
+        blk,
+        grp,
     )

@@ -374,6 +374,52 @@ class TestDia:
         y2 = t2.spmv(x, interpret=True)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y))
 
+    def test_dia_tiled_grouped(self):
+        from sprs_tpu.ops.pallas import dia_tile
+
+        d = banded_dense(5000, self.OFFS, seed=33)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(5000).astype(np.float32)
+        for grp in (2, 4):
+            tiled = dia_tile(dia, blk=1024, grp=grp)
+            assert tiled.grp == grp
+            y = tiled.spmv(x, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(y), d @ x, rtol=1e-4
+            )
+
+    def test_pallas_flatg_variant(self):
+        d = banded_dense(5000, self.OFFS, seed=34)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(5000).astype(np.float32)
+        y = dia_spmv_pallas(
+            dia, x, blk=1024, grp=4, variant="flatg", interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+
+        def loss(data, v):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum(
+                dia_spmv_pallas(
+                    m, v, blk=1024, grp=2, variant="flatg", interpret=True
+                )
+                ** 2
+            )
+
+        def loss_ref(data, v):
+            m = type(dia)(data, dia.offsets, dia.shape)
+            return jnp.sum((m.to_dense() @ v) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1))(dia.data, x)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(dia.data, x)
+        live = np.asarray(g_ref[0]) != 0
+        np.testing.assert_allclose(
+            np.asarray(g[0])[live], np.asarray(g_ref[0])[live], rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g[1]), np.asarray(g_ref[1]), rtol=1e-3
+        )
+
     def test_spmm_pallas_matches(self):
         from sprs_tpu.ops.pallas import dia_spmm_pallas
 
