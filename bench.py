@@ -98,13 +98,6 @@ def bench_spmv(side: int = 4096, iters: int = 30, problem=None):
             tiled,
         ),
         ("pallas_dia_lag", jax.jit(dia_spmv_pallas), dia),
-        (
-            "pallas_dia_carry",
-            jax.jit(
-                lambda m, v: dia_spmv_pallas(m, v, variant="carry")
-            ),
-            dia,
-        ),
         ("xla_dia", jax.jit(dia_spmv), dia),
     ):
         step = functools.partial(fn, mat)
@@ -124,7 +117,6 @@ def bench_spmv(side: int = 4096, iters: int = 30, problem=None):
         pallas_seconds=min(
             results["pallas_dia_tiled"],
             results["pallas_dia_lag"],
-            results["pallas_dia_carry"],
         ),
         xla_dia_seconds=results["xla_dia"],
     )
