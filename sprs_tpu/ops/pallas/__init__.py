@@ -25,6 +25,7 @@ from .bsr_spmm import (
 )
 from .dia_spmm import dia_spmm_pallas
 from .dia_spmv import DiaTiledMat, dia_spmv_pallas, dia_tile
+from .sort import sort_rows_pallas
 from .spmv import ell_spmv_pallas
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "dia_spmv_pallas",
     "dia_tile",
     "ell_spmv_pallas",
+    "sort_rows_pallas",
 ]

@@ -468,3 +468,53 @@ class TestDia:
         gd0, gx0 = jax.grad(loss_o, argnums=(0, 1))(dia.data, x)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gd0), rtol=1e-4)
+
+
+class TestSortRows:
+    """Batched bitonic co-sort (ops/pallas/sort.py)."""
+
+    def test_sorts_keys_and_carries_values(self):
+        from sprs_tpu.ops.pallas import sort_rows_pallas
+
+        rng = np.random.default_rng(40)
+        k = rng.integers(0, 1 << 30, (65, 128)).astype(np.int32)
+        v = rng.random((65, 128)).astype(np.float32)
+        ks, vs = sort_rows_pallas(jnp.asarray(k), jnp.asarray(v), interpret=True)
+        order = np.argsort(k, axis=1)
+        np.testing.assert_array_equal(np.asarray(ks), np.take_along_axis(k, order, 1))
+        for r in range(65):
+            assert sorted(zip(k[r].tolist(), v[r].tolist())) == sorted(
+                zip(np.asarray(ks)[r].tolist(), np.asarray(vs)[r].tolist())
+            )
+
+    def test_duplicate_keys_keep_pairing(self):
+        from sprs_tpu.ops.pallas import sort_rows_pallas
+
+        rng = np.random.default_rng(41)
+        k = rng.integers(0, 8, (16, 128)).astype(np.int32)  # heavy ties
+        v = rng.random((16, 128)).astype(np.float32)
+        ks, vs = sort_rows_pallas(jnp.asarray(k), jnp.asarray(v), interpret=True)
+        np.testing.assert_array_equal(np.asarray(ks), np.sort(k, axis=1))
+        for r in range(16):
+            assert sorted(zip(k[r].tolist(), v[r].tolist())) == sorted(
+                zip(np.asarray(ks)[r].tolist(), np.asarray(vs)[r].tolist())
+            )
+
+    def test_float_keys(self):
+        from sprs_tpu.ops.pallas import sort_rows_pallas
+
+        rng = np.random.default_rng(42)
+        k = rng.standard_normal((10, 128)).astype(np.float32)
+        v = rng.random((10, 128)).astype(np.float32)
+        ks, _ = sort_rows_pallas(jnp.asarray(k), jnp.asarray(v), interpret=True)
+        np.testing.assert_allclose(np.asarray(ks), np.sort(k, axis=1))
+
+    def test_shape_validation(self):
+        from sprs_tpu.ops.pallas import sort_rows_pallas
+
+        with np.testing.assert_raises(ValueError):
+            sort_rows_pallas(
+                jnp.zeros((4, 64), jnp.int32),
+                jnp.zeros((4, 64), jnp.float32),
+                interpret=True,
+            )
