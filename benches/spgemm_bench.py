@@ -29,6 +29,7 @@ from sprs_tpu.utils.rand import rand_csr
 
 
 def _time_chained(fn, reps: int = 5) -> float:
+    """Host-path timing (scipy): call-return is already synchronous."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -42,6 +43,45 @@ def _time_chained(fn, reps: int = 5) -> float:
                 pass
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _time_device_chained(step, a0, reps: int = 5, rounds: int = 2) -> float:
+    """True chained device timing: y = step(y) with ONE terminal fetch.
+
+    Independent repeated calls through the axon tunnel carry a
+    ~100-150 ms per-call artifact (measured: a trivial 5.6M elementwise
+    op "takes" 132 ms that way); only a dependency chain with a single
+    scalar fetch at the end measures device time honestly (CLAUDE.md).
+    """
+    y = step(a0)
+    _ = float(np.asarray(y.data).reshape(-1)[0])  # settle/compile
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        y = a0
+        for _ in range(reps):
+            y = step(y)
+        _ = float(np.asarray(y.data).reshape(-1)[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def _dependency_step(f, b):
+    """step(a) = a + 0*indicator(spgemm(a,b)): forces each iteration to
+    depend on the previous product without changing values (the isnan
+    indicator is opaque to constant folding)."""
+    import jax.numpy as jnp
+
+    def step(a):
+        c = f(a, b)
+        dep = jnp.where(
+            jnp.isnan(c.data.reshape(-1)[0]), 1.0, 0.0
+        ).astype(a.data.dtype)
+        return type(a)(
+            a.indptr, a.indices, a.data + dep, a.shape, a.storage
+        )
+
+    return step
 
 
 def bench_one(shape_a, shape_b, density, seed=0):
@@ -76,7 +116,7 @@ def bench_one(shape_a, shape_b, density, seed=0):
         )
     )
     c = f(a, b)  # compile + warm
-    t_sprs = _time_chained(lambda: f(a, b))
+    t_sprs = _time_device_chained(jax.jit(_dependency_step(f, b)), a)
 
     c_np = np.asarray(c.to_dense()) if c.shape[0] * c.shape[1] <= 1e7 else None
     ok = True

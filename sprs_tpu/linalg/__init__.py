@@ -1,7 +1,9 @@
 """Solvers: triangular solves, LDLᵀ factorization, orderings, iterative methods."""
 
 from .bicgstab import BiCgStabResult, bicgstab
+from .cg import CgResult, cg
 from .etree import etree_from_pattern, postorder, tree_levels
+from .ilu import Ic0, Ilu0, ic0, ilu0
 from .iterative import IterativeResult, gauss_seidel, jacobi
 from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
 from .lu import SpLu, splu
@@ -25,6 +27,12 @@ from .trisolve import (
 __all__ = [
     "BiCgStabResult",
     "bicgstab",
+    "CgResult",
+    "cg",
+    "Ic0",
+    "Ilu0",
+    "ic0",
+    "ilu0",
     "etree_from_pattern",
     "postorder",
     "tree_levels",

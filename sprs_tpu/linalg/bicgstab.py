@@ -48,11 +48,17 @@ def bicgstab(
     tol: float = 1e-8,
     max_iter: int = 1000,
     restart_eps: float = 1e-30,
+    precond: Callable = None,
 ) -> BiCgStabResult:
     """Solve A x = b. ``mat`` may be a CsMat or a matvec callable.
 
     ``tol`` is relative: converged when ‖b − A·x‖ ≤ tol·‖b‖, verified on
     the true residual (hard restart otherwise).  Fully jittable.
+
+    ``precond`` applies M⁻¹ (right preconditioning: the recurrences run
+    on the original residual, search directions pass through M⁻¹ — e.g.
+    :class:`sprs_tpu.linalg.Ilu0`).  Beyond the reference surface, which
+    is unpreconditioned (bicgstab.rs:95-112).
     """
     if isinstance(mat, CsMat):
         if mat.shape[0] != mat.shape[1]:
@@ -73,6 +79,7 @@ def bicgstab(
     else:
         a_op = mat
         n = None
+    m_op = precond if precond is not None else (lambda v: v)
     if isinstance(b, CsVec):
         b = b.to_dense()
     b = jnp.asarray(b)
@@ -112,17 +119,19 @@ def bicgstab(
             s["v"],
             s["rho"],
         )
-        v = a_op(p)
+        phat = m_op(p)
+        v = a_op(phat)
         rhat_v = jnp.vdot(rhat, v).real.astype(r.dtype)
         safe = jnp.abs(rhat_v) > restart_eps
         alpha = jnp.where(safe, rho / jnp.where(safe, rhat_v, 1.0), 0.0)
         sres = r - alpha * v
-        t = a_op(sres)
+        shat = m_op(sres)
+        t = a_op(shat)
         tt = jnp.vdot(t, t).real.astype(r.dtype)
         omega = jnp.where(
             tt > restart_eps, jnp.vdot(t, sres).real.astype(r.dtype) / jnp.where(tt > restart_eps, tt, 1.0), 0.0
         )
-        x_new = x + alpha * p + omega * sres
+        x_new = x + alpha * phat + omega * shat
         r_new = sres - omega * t
 
         rho_new = jnp.vdot(rhat, r_new).real.astype(r.dtype)

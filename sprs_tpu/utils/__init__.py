@@ -3,7 +3,7 @@
 from . import fixtures, profile
 from .profile import audit_spmv, chain_time, measure_peak_bandwidth, roofline_report
 from .rand import rand_csr
-from .special import grid_laplacian, tri_mesh_graph_laplacian
+from .special import dirichlet_laplacian, grid_laplacian, tri_mesh_graph_laplacian
 from .visu import nnz_image, nnz_pattern, nnz_pattern_str
 
 __all__ = [
@@ -14,6 +14,7 @@ __all__ = [
     "measure_peak_bandwidth",
     "roofline_report",
     "rand_csr",
+    "dirichlet_laplacian",
     "grid_laplacian",
     "tri_mesh_graph_laplacian",
     "nnz_image",

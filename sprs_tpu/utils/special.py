@@ -7,6 +7,11 @@
 * :func:`tri_mesh_graph_laplacian` — graph Laplacian of a triangle mesh
   (degree on the diagonal, −1 for each undirected edge), mirroring
   special_mats.rs:9-63.
+* :func:`dirichlet_laplacian` — the SPD interior 5-point operator
+  kron(I,T) + kron(T,I) (T = tridiag(-1,2,-1)); unlike
+  :func:`grid_laplacian`, whose identity border rows make it
+  NONSYMMETRIC, this one is symmetric positive definite — the right
+  operator for CG / IC(0) / LDLᵀ.
 """
 
 from __future__ import annotations
@@ -38,6 +43,50 @@ def grid_laplacian(shape: tuple, dtype=np.float64) -> CsMat:
         rows.append(r_int)
         cols.append(r_int + off)
         vals.append(np.full(r_int.size, -1.0))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals).astype(dtype)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    from ..formats.csmat import csmat
+
+    return csmat(
+        (n, n),
+        indptr.astype(np.int32),
+        cols.astype(np.int32),
+        vals,
+        validate=False,
+    )
+
+
+def dirichlet_laplacian(shape: tuple, dtype=np.float64) -> CsMat:
+    """SPD 5-point Laplacian on the INTERIOR of an nx×ny grid
+    (homogeneous Dirichlet conditions eliminated): rows are
+    [4, -1, -1, -1, -1] with no boundary identity rows, i.e.
+    kron(I, T) + kron(T, I) with T = tridiag(-1, 2, -1)."""
+    nx, ny = shape
+    n = nx * ny
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    row = (ii * ny + jj).ravel()
+    rows = [row]
+    cols = [row]
+    vals = [np.full(n, 4.0)]
+    ii_r = ii.ravel()
+    jj_r = jj.ravel()
+    for off, ok in (
+        (-ny, ii_r > 0),
+        (-1, jj_r > 0),
+        (1, jj_r < ny - 1),
+        (ny, ii_r < nx - 1),
+    ):
+        r = row[ok]
+        rows.append(r)
+        cols.append(r + off)
+        vals.append(np.full(r.size, -1.0))
     rows = np.concatenate(rows)
     cols = np.concatenate(cols)
     vals = np.concatenate(vals).astype(dtype)

@@ -1,0 +1,179 @@
+"""ILU(0) / IC(0) preconditioners and (preconditioned) CG / BiCGSTAB.
+
+Oracles: a dense reference ILU(0) (Saad §10.3 IKJ restricted to the
+pattern), exact factorization on zero-fill patterns (tridiagonal), and
+iteration-count comparisons showing the preconditioner actually
+accelerates convergence on the reference's heat-equation Laplacian.
+"""
+
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.errors import SingularMatrixError
+from sprs_tpu.linalg import bicgstab, cg, ic0, ilu0
+from sprs_tpu.utils.special import dirichlet_laplacian
+
+
+def dense_ilu0_reference(a, pattern):
+    """IKJ ILU(0) on a dense copy, updates restricted to the pattern."""
+    a = a.copy()
+    n = a.shape[0]
+    for i in range(n):
+        for k in range(i):
+            if pattern[i, k]:
+                a[i, k] /= a[k, k]
+                for j in range(k + 1, n):
+                    if pattern[i, j] and pattern[k, j]:
+                        a[i, j] -= a[i, k] * a[k, j]
+    return a
+
+
+def random_diag_dominant(n, density, seed, symmetric=False):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, n))
+    d[rng.random((n, n)) > density] = 0.0
+    if symmetric:
+        d = (d + d.T) / 2
+    d[np.arange(n), np.arange(n)] = np.abs(d).sum(1) + 1.0
+    return d.astype(np.float64)
+
+
+class TestIlu0:
+    def test_matches_dense_reference(self):
+        d = random_diag_dominant(40, 0.15, seed=1)
+        m = st.from_dense(d)
+        f = ilu0(m)
+        ref = dense_ilu0_reference(d, d != 0)
+        l = np.asarray(f.l.to_dense())
+        u = np.asarray(f.u.to_dense())
+        np.testing.assert_allclose(
+            np.tril(l, -1),
+            np.tril(ref * (d != 0), -1),
+            rtol=1e-12,
+            atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            u, np.triu(ref * (d != 0)), rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_allclose(np.diag(l), 1.0)
+
+    def test_exact_on_zero_fill_pattern(self):
+        # tridiagonal: LU has no fill, so ILU(0) IS the exact LU
+        n = 30
+        d = (
+            np.diag(np.full(n, 4.0))
+            + np.diag(np.full(n - 1, -1.0), 1)
+            + np.diag(np.full(n - 1, -2.0), -1)
+        )
+        f = ilu0(st.from_dense(d))
+        l = np.asarray(f.l.to_dense())
+        u = np.asarray(f.u.to_dense())
+        np.testing.assert_allclose(l @ u, d, rtol=1e-12, atol=1e-12)
+
+    def test_solve_applies_inverse_factors(self):
+        d = random_diag_dominant(25, 0.2, seed=2)
+        f = ilu0(st.from_dense(d))
+        r = np.random.default_rng(3).standard_normal(25)
+        y = np.asarray(f.solve(r))
+        l = np.asarray(f.l.to_dense())
+        u = np.asarray(f.u.to_dense())
+        np.testing.assert_allclose(
+            y, np.linalg.solve(u, np.linalg.solve(l, r)), rtol=1e-8
+        )
+
+    def test_structurally_singular_diagonal_raises(self):
+        d = np.array([[1.0, 2.0], [3.0, 0.0]])
+        d[1, 1] = 0.0
+        m = st.from_dense(d)  # (1,1) dropped: no structural diagonal
+        with pytest.raises(SingularMatrixError):
+            ilu0(m)
+
+
+class TestIc0:
+    def test_exact_on_zero_fill_pattern(self):
+        n = 30
+        d = (
+            np.diag(np.full(n, 4.0))
+            + np.diag(np.full(n - 1, -1.0), 1)
+            + np.diag(np.full(n - 1, -1.0), -1)
+        )
+        f = ic0(st.from_dense(d))
+        l = np.asarray(f.l.to_dense())
+        np.testing.assert_allclose(l @ l.T, d, rtol=1e-12, atol=1e-12)
+
+    def test_not_spd_raises(self):
+        d = np.array([[1.0, 3.0], [3.0, 1.0]])  # indefinite
+        with pytest.raises(SingularMatrixError):
+            ic0(st.from_dense(d))
+
+
+class TestCg:
+    def test_solves_spd(self):
+        d = random_diag_dominant(50, 0.2, seed=5, symmetric=True)
+        b = np.random.default_rng(6).standard_normal(50)
+        res = cg(st.from_dense(d), b, tol=1e-10, max_iter=500)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
+        )
+
+    def test_matvec_callable(self):
+        d = random_diag_dominant(20, 0.3, seed=7, symmetric=True)
+        import jax.numpy as jnp
+
+        b = np.ones(20)
+        res = cg(lambda v: jnp.asarray(d) @ v, b, tol=1e-10)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
+        )
+
+    def test_ic0_preconditioner_accelerates(self):
+        lap = dirichlet_laplacian((16, 16), dtype=np.float64)
+        n = lap.shape[0]
+        b = np.ones(n)
+        plain = cg(lap, b, tol=1e-8, max_iter=2000)
+        pre = cg(lap, b, tol=1e-8, max_iter=2000, precond=ic0(lap))
+        assert plain.converged and pre.converged
+        assert pre.iterations < plain.iterations
+        np.testing.assert_allclose(
+            np.asarray(pre.x), np.asarray(plain.x), rtol=1e-5, atol=1e-7
+        )
+
+    def test_jittable(self):
+        import jax
+
+        d = random_diag_dominant(16, 0.3, seed=8, symmetric=True)
+        m = st.from_dense(d)
+        b = np.ones(16)
+
+        @jax.jit
+        def run(mat, rhs):
+            return cg(mat, rhs, tol=1e-9, max_iter=200).x
+
+        np.testing.assert_allclose(
+            np.asarray(run(m, b)), np.linalg.solve(d, b), rtol=1e-5
+        )
+
+
+class TestPreconditionedBicgstab:
+    def test_ilu0_accelerates_nonsymmetric(self):
+        # convection-diffusion: Laplacian + skew advection term
+        lap = dirichlet_laplacian((12, 12), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        n = d.shape[0]
+        rng = np.random.default_rng(9)
+        adv = np.zeros_like(d)
+        adv[d != 0] = 0.3 * rng.standard_normal((d != 0).sum())
+        np.fill_diagonal(adv, 0.0)
+        a = d + adv
+        m = st.from_dense(a)
+        b = np.ones(n)
+        plain = bicgstab(m, b, tol=1e-8, max_iter=2000)
+        pre = bicgstab(m, b, tol=1e-8, max_iter=2000, precond=ilu0(m))
+        assert pre.converged
+        assert plain.iterations > pre.iterations
+        np.testing.assert_allclose(
+            np.asarray(pre.x), np.linalg.solve(a, b), rtol=1e-5
+        )
