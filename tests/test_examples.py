@@ -28,3 +28,10 @@ def test_fill_in_reduction(capsys):
     # orderings should not increase fill vs none by much; min-degree is
     # typically strictly better — assert ordering lines are present
     assert "min-degree" in out
+
+
+def test_preconditioned_solve(capsys):
+    run_example("examples/preconditioned_solve.py", ["12"])
+    out = capsys.readouterr().out
+    assert "ic0-pcg" in out and "ilu0" in out
+    assert "converged=False" not in out
