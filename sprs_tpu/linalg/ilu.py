@@ -87,6 +87,8 @@ def _ic0_host(indptr, indices, data):
         for t in range(lo, hi - 1):
             k = int(indices[t])
             # l_ik = (a_ik - sum_{j<k, j in both} l_ij l_kj) / l_kk
+            # NB: sequential accumulation in ascending-column order so
+            # the C++ fast path (sprs_ic0) is bit-identical
             s = 0.0
             klo, khi = int(indptr[k]), int(indptr[k + 1])
             kcols = indices[klo : khi - 1]
@@ -96,12 +98,13 @@ def _ic0_host(indptr, indices, data):
             if common.size:
                 pi = lo + np.searchsorted(cols, common)
                 pk = klo + np.searchsorted(kcols, common)
-                s = float(np.dot(vals[pi], vals[pk]))
+                for a_, b_ in zip(vals[pi], vals[pk]):
+                    s += float(a_) * float(b_)
             lkk = vals[diag_pos[k]]
             vals[t] = (vals[t] - s) / lkk
-        d = vals[hi - 1] - float(
-            np.dot(vals[lo : hi - 1], vals[lo : hi - 1])
-        )
+        d = float(vals[hi - 1])
+        for p in range(lo, hi - 1):
+            d -= float(vals[p]) * float(vals[p])
         if d <= 0:
             raise SingularMatrixError(
                 f"ic0: non-positive pivot at row {i} (matrix not SPD "
@@ -132,9 +135,21 @@ class Ilu0:
         indices = np.asarray(a.indices)
         data = np.asarray(a.data)
         nnz = int(indptr[-1])
-        vals, diag_pos = _ilu0_host(
-            indptr, indices[:nnz], data[:nnz]
-        )
+        vals = None
+        if data.dtype == np.float64:
+            # C++ fast path (native/src/sprs_host.cpp::sprs_ilu0);
+            # same IKJ sweep in the same order -> bit-identical to the
+            # numpy fallback (tests/test_precond.py parity test)
+            from .. import native
+
+            try:
+                vals = native.ilu0_numeric(
+                    indptr, indices[:nnz], data[:nnz]
+                )
+            except ValueError as e:
+                raise SingularMatrixError(str(e)) from None
+        if vals is None:
+            vals, _ = _ilu0_host(indptr, indices[:nnz], data[:nnz])
         n = a.shape[0]
         rows = np.repeat(np.arange(n), np.diff(indptr))
         lower = indices[:nnz] < rows
@@ -211,9 +226,18 @@ class Ic0:
         l_indptr = np.zeros(n + 1, np.int64)
         np.add.at(l_indptr, l_rows + 1, 1)
         l_indptr = np.cumsum(l_indptr)
-        vals = _ic0_host(
-            l_indptr, indices[:nnz][keep], data[:nnz][keep]
-        )
+        l_cols = indices[:nnz][keep]
+        l_data = data[:nnz][keep]
+        vals = None
+        if l_data.dtype == np.float64:
+            from .. import native
+
+            try:
+                vals = native.ic0_numeric(l_indptr, l_cols, l_data)
+            except ValueError as e:
+                raise SingularMatrixError(str(e)) from None
+        if vals is None:
+            vals = _ic0_host(l_indptr, l_cols, l_data)
         lmat = csmat(
             (n, n),
             jnp.asarray(l_indptr.astype(np.int32)),

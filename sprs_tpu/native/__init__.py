@@ -38,6 +38,10 @@ def _build() -> bool:
                 "g++",
                 "-O3",
                 "-march=native",
+                # no FMA contraction: numeric entry points (lu, ilu0,
+                # ic0) stay BIT-identical to their numpy fallbacks,
+                # which is what the parity tests assert
+                "-ffp-contract=off",
                 "-shared",
                 "-fPIC",
                 "-std=c++17",
@@ -126,6 +130,15 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.sprs_lu.restype = ctypes.c_int64
+    for fn in (lib.sprs_ilu0, lib.sprs_ic0):
+        fn.argtypes = [
+            _I32P,
+            _I32P,
+            _F64P,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        fn.restype = ctypes.c_int32
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -338,3 +351,46 @@ def lu(indptr, indices, data, n, pivot_threshold):
             raise ValueError(f"singular:{int(err.value)}")
         cap *= 2
     raise MemoryError("sprs_lu: capacity growth did not converge")
+
+
+def ilu0_numeric(indptr, indices, vals):
+    """In-place ILU(0) on CSR arrays; returns the factor values, or
+    None when the native library is unavailable.  Raises ValueError
+    with the offending row on a structural/zero pivot (the Python
+    caller re-raises as SingularMatrixError)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(vals, np.float64).copy()
+    bad = ctypes.c_int64(-1)
+    rc = lib.sprs_ilu0(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        out,
+        indptr.shape[0] - 1,
+        ctypes.byref(bad),
+    )
+    if rc != 0:
+        raise ValueError(f"ilu0 pivot failure at row {bad.value}")
+    return out
+
+
+def ic0_numeric(indptr, indices, vals):
+    """In-place IC(0) on CSR lower-triangle arrays; returns L values,
+    or None when the native library is unavailable.  Raises ValueError
+    on a missing diagonal / non-positive pivot."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(vals, np.float64).copy()
+    bad = ctypes.c_int64(-1)
+    rc = lib.sprs_ic0(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        out,
+        indptr.shape[0] - 1,
+        ctypes.byref(bad),
+    )
+    if rc != 0:
+        raise ValueError(f"ic0 pivot failure at row {bad.value}")
+    return out

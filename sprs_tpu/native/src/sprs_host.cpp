@@ -511,4 +511,84 @@ int64_t sprs_lu(const int32_t* indptr, const int32_t* indices,
   return 0;
 }
 
+
+// ILU(0): IKJ incomplete LU restricted to A's own pattern (Saad,
+// Iterative Methods 10.3).  CSR with sorted indices; vals updated in
+// place to the combined factor (L strictly-lower with implicit unit
+// diagonal, U upper incl diagonal).  Returns 0 on success, -1 with
+// *bad_row set when a diagonal entry is structurally missing or a
+// pivot is exactly zero.
+int32_t sprs_ilu0(const int32_t* indptr, const int32_t* indices,
+                  double* vals, int64_t n, int64_t* bad_row) {
+  std::vector<int64_t> diag(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (indices[p] == i) {
+        diag[i] = p;
+        break;
+      }
+    if (diag[i] < 0) {
+      *bad_row = i;
+      return -1;
+    }
+  }
+  std::vector<int64_t> pos(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t lo = indptr[i], hi = indptr[i + 1];
+    for (int32_t p = lo; p < hi; ++p) pos[indices[p]] = p;
+    for (int32_t p = lo; p < hi; ++p) {
+      int32_t k = indices[p];
+      if (k >= i) break;
+      double ukk = vals[diag[k]];
+      if (ukk == 0.0) {
+        *bad_row = k;
+        return -1;
+      }
+      double lik = vals[p] / ukk;
+      vals[p] = lik;
+      for (int64_t s = diag[k] + 1; s < indptr[k + 1]; ++s) {
+        int64_t q = pos[indices[s]];
+        if (q >= 0) vals[q] -= lik * vals[s];
+      }
+    }
+    for (int32_t p = lo; p < hi; ++p) pos[indices[p]] = -1;
+  }
+  return 0;
+}
+
+// IC(0): zero-fill incomplete Cholesky on the LOWER-triangle pattern
+// (CSR lower incl diagonal, sorted, diagonal last per row); vals
+// updated in place to L.  Returns 0 on success, -1 with *bad_row set
+// on a missing diagonal or non-positive pivot.
+int32_t sprs_ic0(const int32_t* indptr, const int32_t* indices,
+                 double* vals, int64_t n, int64_t* bad_row) {
+  std::vector<int64_t> pos(static_cast<size_t>(n), -1);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t lo = indptr[i], hi = indptr[i + 1];
+    if (hi == lo || indices[hi - 1] != i) {
+      *bad_row = i;
+      return -1;
+    }
+    for (int32_t p = lo; p < hi - 1; ++p) pos[indices[p]] = p;
+    for (int32_t p = lo; p < hi - 1; ++p) {
+      int32_t k = indices[p];
+      double s = 0.0;
+      for (int64_t q = indptr[k]; q < indptr[k + 1] - 1; ++q) {
+        int64_t r = pos[indices[q]];
+        if (r >= 0 && r < p) s += vals[r] * vals[q];
+      }
+      vals[p] = (vals[p] - s) / vals[indptr[k + 1] - 1];
+    }
+    double d = vals[hi - 1];
+    for (int32_t p = lo; p < hi - 1; ++p) d -= vals[p] * vals[p];
+    if (d <= 0.0) {
+      *bad_row = i;
+      return -1;
+    }
+    vals[hi - 1] = std::sqrt(d);
+    for (int32_t p = lo; p < hi - 1; ++p) pos[indices[p]] = -1;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -118,3 +118,64 @@ class TestNativeParity:
         # parents point forward (etree property)
         for k in range(n):
             assert parent[k] == -1 or parent[k] > k
+
+
+@pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+class TestIncompleteFactorizations:
+    """C++ ilu0/ic0 vs the pure-numpy fallbacks: bit-identical."""
+
+    def _random_csr(self, n, density, seed, symmetric=False):
+        rng = np.random.default_rng(seed)
+        d = rng.standard_normal((n, n))
+        d[rng.random((n, n)) > density] = 0.0
+        if symmetric:
+            d = (d + d.T) / 2
+        d[np.arange(n), np.arange(n)] = np.abs(d).sum(1) + 1.0
+        return d
+
+    def test_ilu0_bit_identical(self):
+        from sprs_tpu.linalg.ilu import _ilu0_host
+
+        d = self._random_csr(60, 0.15, seed=11)
+        a = st.from_dense(d).to_csr().compact()
+        indptr = np.asarray(a.indptr)
+        nnz = int(indptr[-1])
+        indices = np.asarray(a.indices)[:nnz]
+        data = np.asarray(a.data)[:nnz]
+        ref, _ = _ilu0_host(indptr, indices, data)
+        fast = native.ilu0_numeric(indptr, indices, data)
+        np.testing.assert_array_equal(ref, fast)
+
+    def test_ic0_bit_identical(self):
+        from sprs_tpu.linalg.ilu import _ic0_host
+
+        d = self._random_csr(60, 0.15, seed=12, symmetric=True)
+        a = st.from_dense(d).to_csr().compact()
+        indptr = np.asarray(a.indptr)
+        nnz = int(indptr[-1])
+        indices = np.asarray(a.indices)[:nnz]
+        data = np.asarray(a.data)[:nnz]
+        rows = np.repeat(np.arange(60), np.diff(indptr))
+        keep = indices <= rows
+        l_rows = rows[keep]
+        l_indptr = np.zeros(61, np.int64)
+        np.add.at(l_indptr, l_rows + 1, 1)
+        l_indptr = np.cumsum(l_indptr)
+        ref = _ic0_host(l_indptr, indices[keep], data[keep])
+        fast = native.ic0_numeric(l_indptr, indices[keep], data[keep])
+        np.testing.assert_array_equal(ref, fast)
+
+    def test_ilu0_pivot_failure_reported(self):
+        # row 1 diagonal structurally missing
+        d = np.array([[2.0, 1.0], [1.0, 0.0]])
+        a = st.from_dense(d).to_csr().compact()
+        indptr = np.asarray(a.indptr)
+        nnz = int(indptr[-1])
+        with pytest.raises(ValueError, match="row 1"):
+            native.ilu0_numeric(
+                indptr,
+                np.asarray(a.indices)[:nnz],
+                np.asarray(a.data)[:nnz],
+            )
