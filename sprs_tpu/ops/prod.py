@@ -100,7 +100,13 @@ def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
             except ShapeError:
                 pass  # bandwidth exceeds the row block: XLA DIA below
         return (lambda m, x: dia_spmv(m, x)), dia
-    if ell_overhead(mat) < 1.0:
+    # ELL does (1+overhead)·nnz gathers + a dense reduce; the CSR
+    # fallback does nnz gathers + a scatter-bound segment-sum, which is
+    # far slower per element on TPU — so ELL pays until padding is
+    # several times the live entries (e.g. a random 1M-row d=1e-5
+    # matrix has overhead ~1.5 from the Poisson row-length tail and
+    # must NOT fall to CSR).
+    if ell_overhead(mat) < 3.0:
         return (lambda m, x: ell_spmv(m, x)), ell_from_csmat(mat)
     return (lambda m, x: spmv(m, x)), mat
 
