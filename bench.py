@@ -90,6 +90,7 @@ def bench_spmv(side: int = 4096, iters: int = 30, problem=None):
     # closure capture — capturing embeds the data as an HLO constant
     # (huge remote-compile payloads and a different memory placement
     # than the production path).
+    interp = jax.default_backend() != "tpu"  # compiled Mosaic is TPU-only
     results = {}
     for name, fn, mat in (
         (
@@ -97,7 +98,11 @@ def bench_spmv(side: int = 4096, iters: int = 30, problem=None):
             jax.jit(lambda m, v: m.spmv(v)),
             tiled,
         ),
-        ("pallas_dia_lag", jax.jit(dia_spmv_pallas), dia),
+        (
+            "pallas_dia_lag",
+            jax.jit(lambda m, v: dia_spmv_pallas(m, v, interpret=interp)),
+            dia,
+        ),
         ("xla_dia", jax.jit(dia_spmv), dia),
     ):
         step = functools.partial(fn, mat)
