@@ -9,6 +9,7 @@ from .matrix_market import (
     write_matrix_market,
     write_matrix_market_sym,
 )
+from .checkpoint import load_checkpoint, save_checkpoint
 from .serialize import load_npz, save_npz
 
 __all__ = [
@@ -19,6 +20,8 @@ __all__ = [
     "read_matrix_market_csr",
     "write_matrix_market",
     "write_matrix_market_sym",
+    "load_checkpoint",
+    "save_checkpoint",
     "load_npz",
     "save_npz",
 ]

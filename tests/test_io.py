@@ -243,3 +243,44 @@ class TestRandAndVisu:
         assert s.splitlines()[0] == "|x  |"
         img = nnz_image(m)
         assert img[0, 0] == 0 and img[0, 1] == 255
+
+
+class TestCheckpoint:
+    """Orbax pytree checkpointing (io/checkpoint.py)."""
+
+    def test_roundtrip_csmat_tree(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from sprs_tpu.io import load_checkpoint, save_checkpoint
+
+        d = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 6]])
+        m = st.from_dense(d)
+        tree = {"mat": m, "x": np.arange(3.0)}
+        save_checkpoint(str(tmp_path / "ck"), tree)
+        back = load_checkpoint(str(tmp_path / "ck"))
+        assert isinstance(back["mat"], type(m))
+        np.testing.assert_allclose(
+            np.asarray(back["mat"].to_dense()), d
+        )
+        np.testing.assert_allclose(np.asarray(back["x"]), np.arange(3.0))
+
+    def test_corrupted_checkpoint_rejected(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        import jax.numpy as jnp
+
+        from sprs_tpu.errors import StructureError
+        from sprs_tpu.formats.csmat import CsMat
+        from sprs_tpu.io import load_checkpoint, save_checkpoint
+
+        d = np.array([[1.0, 2.0], [3.0, 4.0]])
+        m = st.from_dense(d)
+        # corrupt: unsorted indices within a row
+        bad = CsMat(
+            m.indptr,
+            jnp.asarray(np.asarray(m.indices)[::-1].copy()),
+            m.data,
+            m.shape,
+            m.storage,
+        )
+        save_checkpoint(str(tmp_path / "ck2"), {"mat": bad})
+        with pytest.raises(StructureError):
+            load_checkpoint(str(tmp_path / "ck2"))
