@@ -134,9 +134,24 @@ def main():
     # cancels out of the roofline fraction.
     import sys
 
+    # Drain any tunnel wedge left by a previously killed process: the
+    # first small transfer can take minutes; do it before timing.
+    t0 = time.perf_counter()
+    probe = jnp.asarray(np.ones(262144, np.float32))
+    _ = float(np.asarray(probe[7]))
+    drain_s = time.perf_counter() - t0
+    health = _chain_time(
+        jax.jit(lambda x: x * 1.000001 + 0.5), probe, 10
+    )
+    print(
+        f"# drain {drain_s:.1f}s, trivial 1MB chain {health*1e3:.2f} "
+        "ms/iter (healthy < 1 ms; degraded tunnel states reach 60+)",
+        file=sys.stderr,
+    )
+
     problem = _laplacian_dia(4096)
     best = None
-    for r in range(4):
+    for r in range(6):
         peak = measure_copy_bandwidth_gbs(iters=10)
         stats = bench_spmv(iters=10, problem=problem)
         frac = stats["gbytes_per_s"] / peak if peak > 0 else 0.0
@@ -165,6 +180,7 @@ def main():
             "rows": stats["rows"],
             "nnz": stats["nnz"],
             "backend": jax.default_backend(),
+            "trivial_chain_ms": round(health * 1e3, 2),
         },
     }
     print(json.dumps(result))
