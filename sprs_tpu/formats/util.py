@@ -138,9 +138,33 @@ def compress_coo(
         for v in value_channels
     ]
 
-    sorted_ops = jax.lax.sort((srows, scols, *svals), num_keys=2)
-    r, c = sorted_ops[0], sorted_ops[1]
-    vs = sorted_ops[2:]
+    # Pack (row, col) into one integer key when the index space fits:
+    # a 1-key sort carries fewer operands through the network, and the
+    # halves are recovered with a divide-by-constant (multiply-shift
+    # under XLA).  Sentinel rows pack to keys >= n_outer*n_inner, which
+    # still sort last.  i32 when (n_outer+1)*n_inner < 2^31, else i64;
+    # 3-operand 2-key sort as the >2^63 fallback.
+    n_inner_c = max(n_inner, 1)
+    if (n_outer + 1) * n_inner_c < 2**31:
+        key = srows * jnp.int32(n_inner_c) + scols
+        sorted_ops = jax.lax.sort((key, *svals), num_keys=1)
+        k = sorted_ops[0]
+        r = jnp.minimum(k // jnp.int32(n_inner_c), n_outer)
+        c = k - (k // jnp.int32(n_inner_c)) * jnp.int32(n_inner_c)
+        vs = sorted_ops[1:]
+    elif (n_outer + 1) * n_inner_c < 2**63:
+        key = srows.astype(jnp.int64) * n_inner_c + scols.astype(
+            jnp.int64
+        )
+        sorted_ops = jax.lax.sort((key, *svals), num_keys=1)
+        k = sorted_ops[0]
+        r = jnp.minimum((k // n_inner_c).astype(INDEX_DTYPE), n_outer)
+        c = (k % n_inner_c).astype(INDEX_DTYPE)
+        vs = sorted_ops[1:]
+    else:
+        sorted_ops = jax.lax.sort((srows, scols, *svals), num_keys=2)
+        r, c = sorted_ops[0], sorted_ops[1]
+        vs = sorted_ops[2:]
 
     live_sorted = r < n_outer
     first = jnp.concatenate(
