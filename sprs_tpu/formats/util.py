@@ -145,6 +145,7 @@ def compress_coo(
     # still sort last.  i32 when (n_outer+1)*n_inner < 2^31, else i64;
     # 3-operand 2-key sort as the >2^63 fallback.
     n_inner_c = max(n_inner, 1)
+    first = None
     if (n_outer + 1) * n_inner_c < 2**31:
         key = srows * jnp.int32(n_inner_c) + scols
         sorted_ops = jax.lax.sort((key, *svals), num_keys=1)
@@ -152,7 +153,12 @@ def compress_coo(
         r = jnp.minimum(k // jnp.int32(n_inner_c), n_outer)
         c = k - (k // jnp.int32(n_inner_c)) * jnp.int32(n_inner_c)
         vs = sorted_ops[1:]
-    elif (n_outer + 1) * n_inner_c < 2**63:
+        first = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
+        )
+    elif (n_outer + 1) * n_inner_c < 2**63 and jax.config.jax_enable_x64:
+        # without x64, astype(int64) silently truncates to i32 and the
+        # packed key would alias — use the 2-key sort instead
         key = srows.astype(jnp.int64) * n_inner_c + scols.astype(
             jnp.int64
         )
@@ -161,18 +167,22 @@ def compress_coo(
         r = jnp.minimum((k // n_inner_c).astype(INDEX_DTYPE), n_outer)
         c = (k % n_inner_c).astype(INDEX_DTYPE)
         vs = sorted_ops[1:]
+        first = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
+        )
     else:
         sorted_ops = jax.lax.sort((srows, scols, *svals), num_keys=2)
         r, c = sorted_ops[0], sorted_ops[1]
         vs = sorted_ops[2:]
 
     live_sorted = r < n_outer
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=bool),
-            (r[1:] != r[:-1]) | (c[1:] != c[:-1]),
-        ]
-    )
+    if first is None:
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), dtype=bool),
+                (r[1:] != r[:-1]) | (c[1:] != c[:-1]),
+            ]
+        )
     unique = first & live_sorted
     # Group id of each sorted entry; padding inherits the last group but
     # contributes zero (values were zeroed pre-sort).
