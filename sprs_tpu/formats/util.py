@@ -196,7 +196,9 @@ def compress_coo(
         .set(c, mode="drop")
     )
     out_vals = tuple(
-        jnp.zeros((out_cap,), dtype=v.dtype).at[gid].add(v, mode="drop")
+        jnp.zeros((out_cap,), dtype=v.dtype)
+        .at[gid]
+        .add(v, mode="drop", indices_are_sorted=True)
         for v in vs
     )
     # Entries whose group id overflowed out_cap were dropped above; clamp
