@@ -317,3 +317,64 @@ class TestVec:
         np.testing.assert_allclose((v * w).to_dense(), dv * dw)
         np.testing.assert_allclose((v * 2.0).to_dense(), 2 * dv)
         np.testing.assert_allclose((-v).to_dense(), -dv)
+
+
+class TestPackedKeyCompress:
+    """compress_coo key-packing paths (i32 / i64 / fallback selection)."""
+
+    def test_index_space_past_i32_uses_i64_and_stays_correct(self):
+        # (n_outer+1)*n_inner > 2^31: i64 packing path (x64 is on in
+        # the test suite)
+        import jax.numpy as jnp
+
+        from sprs_tpu.formats.util import compress_coo
+
+        n_outer = n_inner = 1 << 20  # product 2^40
+        rows = jnp.asarray([5, 5, 1 << 19, 3], dtype=jnp.int32)
+        cols = jnp.asarray([7, 7, 1 << 18, 0], dtype=jnp.int32)
+        vals = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        res = compress_coo(
+            rows=rows,
+            cols=cols,
+            value_channels=(vals,),
+            nvalid=4,
+            n_outer=n_outer,
+            n_inner=n_inner,
+            out_cap=4,
+        )
+        assert int(res.nnz) == 3  # duplicates summed
+        idx = np.asarray(res.indices)[:3]
+        v = np.asarray(res.values[0])[:3]
+        got = {
+            (int(np.searchsorted(np.asarray(res.indptr), t, "right") - 1),
+             int(idx[t]), float(v[t]))
+            for t in range(3)
+        }
+        assert (3, 0, 4.0) in got
+        assert (5, 7, 3.0) in got  # 1+2 summed
+
+    def test_spgemm_large_inner_dim(self):
+        # cols near the i32-packing boundary for the whole product
+        d_a = np.zeros((3, 4), np.float64)
+        d_a[0, 1] = 2.0
+        d_a[2, 3] = 1.5
+        a = st.from_dense(d_a)
+        # b: 4 x huge, a few entries
+        n_inner = (1 << 30)  # (n_outer+1)*n_inner over 2^31
+        from sprs_tpu.formats.csmat import csmat
+
+        b = csmat(
+            (4, n_inner),
+            np.array([0, 1, 2, 2, 3], np.int32),
+            np.array([n_inner - 1, 5, 123], np.int32),
+            np.array([10.0, 20.0, 30.0]),
+        )
+        c = st.spgemm(a, b)
+        dense_row0 = {(0, 5): 40.0}  # a[0,1]*b[1,5]
+        assert c.shape == (3, n_inner)
+        assert int(c.nnz) == 2
+        ind = np.asarray(c.indices)[:2]
+        dat = np.asarray(c.data)[:2]
+        indptr = np.asarray(c.indptr)
+        assert indptr[1] - indptr[0] == 1 and ind[0] == 5 and dat[0] == 40.0
+        assert indptr[3] - indptr[2] == 1 and ind[1] == 123 and dat[1] == 45.0
