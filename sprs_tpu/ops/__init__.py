@@ -33,7 +33,7 @@ from .permutation import (
     transform_mat_papt,
     transform_mat_paq,
 )
-from .prod import dense_matmul_sparse, prepare_spmv, spmm, spmv
+from .prod import dense_matmul_sparse, prepare_spmm, prepare_spmv, spmm, spmv
 from .spgemm import spgemm
 from .symmetry import is_symmetric
 from . import pallas
@@ -46,6 +46,7 @@ __all__ = [
     "elementwise_mul",
     "spmv",
     "spmm",
+    "prepare_spmm",
     "prepare_spmv",
     "spgemm",
     "dense_matmul_sparse",

@@ -111,6 +111,35 @@ def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
     return (lambda m, x: spmv(m, x)), mat
 
 
+def prepare_spmm(mat: CsMat, *, use_pallas: Optional[bool] = None):
+    """Structure-dispatched SpMM: ``(fn, prepared)`` with
+    ``fn(prepared, X) -> Y`` jittable for a dense RHS ``X (cols, k)``.
+
+    Multi-RHS analog of :func:`prepare_spmv` and of the reference's
+    SpMM kernel choice (row-major kernel iff rhs cols >= 8,
+    csmat.rs:2002-2047):
+
+    * banded → DIA ``dia_spmm`` (streams diagonals; the fused XLA form
+      amortizes x re-reads over the RHS width, measured at or above the
+      Pallas twin for k <= 256 — ops/pallas/dia_spmm.py),
+    * modest ELL padding overhead → ELL gather SpMM,
+    * otherwise → CSR segment-sum.
+    """
+    from ..formats.dia import dia_from_csmat, dia_spmm, n_diags_of
+    from ..formats.ell import ell_from_csmat, ell_overhead, ell_spmm
+
+    k = n_diags_of(mat)
+    n_outer = max(mat.rows, 1)
+    nnz = int(mat.nnz)
+    dia_fill = nnz / max(k * n_outer, 1)
+    if k <= 32 or (k <= 64 and dia_fill >= 0.25):
+        dia = dia_from_csmat(mat)
+        return (lambda m, x: dia_spmm(m, x)), dia
+    if ell_overhead(mat) < 3.0:
+        return (lambda m, x: ell_spmm(m, x)), ell_from_csmat(mat)
+    return (lambda m, x: spmm(m, x)), mat
+
+
 def dense_matmul_sparse(x: jax.Array, mat: CsMat) -> jax.Array:
     """X @ A via the transpose identity (X·A = (Aᵀ·Xᵀ)ᵀ, csmat.rs:2050-2117)."""
     x = jnp.asarray(x)

@@ -154,3 +154,34 @@ class TestProfileAccounting:
         assert rep["achieved_GBps"] == 1.0
         assert rep["roofline_fraction"] == pytest.approx(0.1)
         assert rep["kernel"] == "k"
+
+
+class TestPrepareSpmm:
+    def test_banded_dispatches_dia(self):
+        import jax
+
+        from sprs_tpu.ops.prod import prepare_spmm
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        lap = dirichlet_laplacian((8, 8), dtype=np.float64)
+        fn, prep = prepare_spmm(lap)
+        assert type(prep).__name__ == "DiaMat"
+        x = np.random.default_rng(0).standard_normal((64, 5))
+        y = jax.jit(fn)(prep, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(lap.to_dense()) @ x, rtol=1e-10
+        )
+
+    def test_random_dispatches_ell(self):
+        from sprs_tpu.ops.prod import prepare_spmm
+
+        rng = np.random.default_rng(5)
+        d = rng.standard_normal((60, 60))
+        d[rng.random((60, 60)) > 0.1] = 0.0
+        m = st.from_dense(d)
+        fn, prep = prepare_spmm(m)
+        assert type(prep).__name__ == "EllMat"
+        x = rng.standard_normal((60, 9))
+        np.testing.assert_allclose(
+            np.asarray(fn(prep, x)), d @ x, rtol=1e-10
+        )
