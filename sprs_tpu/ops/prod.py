@@ -101,12 +101,11 @@ def prepare_spmv(mat: CsMat, *, use_pallas: Optional[bool] = None):
                 pass  # bandwidth exceeds the row block: XLA DIA below
         return (lambda m, x: dia_spmv(m, x)), dia
     # ELL does (1+overhead)·nnz gathers + a dense reduce; the CSR
-    # fallback does nnz gathers + a scatter-bound segment-sum, which is
-    # far slower per element on TPU — so ELL pays until padding is
-    # several times the live entries (e.g. a random 1M-row d=1e-5
-    # matrix has overhead ~1.5 from the Poisson row-length tail and
-    # must NOT fall to CSR).
-    if ell_overhead(mat) < 3.0:
+    # fallback does nnz gathers + a sorted-segment sum.  Measured on the
+    # tunnel v5e (2M-row random, nnz 20M, ELL width 29 = overhead 1.9):
+    # ELL 8.45 ns/slot vs CSR 19 ns/nnz → break-even at overhead ~1.2;
+    # CSR won that point 1.3x.  Dispatch ELL below 1.2, CSR above.
+    if ell_overhead(mat) < 1.2:
         return (lambda m, x: ell_spmv(m, x)), ell_from_csmat(mat)
     return (lambda m, x: spmv(m, x)), mat
 
@@ -135,7 +134,7 @@ def prepare_spmm(mat: CsMat, *, use_pallas: Optional[bool] = None):
     if k <= 32 or (k <= 64 and dia_fill >= 0.25):
         dia = dia_from_csmat(mat)
         return (lambda m, x: dia_spmm(m, x)), dia
-    if ell_overhead(mat) < 3.0:
+    if ell_overhead(mat) < 1.2:
         return (lambda m, x: ell_spmm(m, x)), ell_from_csmat(mat)
     return (lambda m, x: spmm(m, x)), mat
 

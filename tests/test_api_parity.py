@@ -172,16 +172,33 @@ class TestPrepareSpmm:
             np.asarray(y), np.asarray(lap.to_dense()) @ x, rtol=1e-10
         )
 
-    def test_random_dispatches_ell(self):
+    def test_uniform_rows_dispatch_ell(self):
         from sprs_tpu.ops.prod import prepare_spmm
 
         rng = np.random.default_rng(5)
-        d = rng.standard_normal((60, 60))
-        d[rng.random((60, 60)) > 0.1] = 0.0
+        d = np.zeros((60, 60))
+        for i in range(60):  # exactly 40 nnz/row: zero ELL overhead
+            cols = rng.choice(60, size=40, replace=False)
+            d[i, cols] = rng.standard_normal(40)
         m = st.from_dense(d)
         fn, prep = prepare_spmm(m)
         assert type(prep).__name__ == "EllMat"
         x = rng.standard_normal((60, 9))
+        np.testing.assert_allclose(
+            np.asarray(fn(prep, x)), d @ x, rtol=1e-10
+        )
+
+    def test_skewed_rows_dispatch_csr(self):
+        from sprs_tpu.ops.prod import prepare_spmm
+
+        rng = np.random.default_rng(6)
+        d = np.zeros((80, 80))
+        d[0, :] = 1.0  # one full row dominates the ELL width
+        d[np.arange(40, 80), np.arange(40)] = 2.0
+        m = st.from_dense(d)
+        fn, prep = prepare_spmm(m)
+        assert type(prep).__name__ == "CsMat"
+        x = rng.standard_normal((80, 4))
         np.testing.assert_allclose(
             np.asarray(fn(prep, x)), d @ x, rtol=1e-10
         )
