@@ -66,11 +66,17 @@ def _make_lagflat_kernel(offsets, blk, kt, acc_dtype):
             whole = jnp.concatenate([c2_ref[:], c1_ref[:], c], axis=0)
             acc = jnp.zeros((blk, kt), acc_dtype)
             for d, off in enumerate(offsets):
-                if off % (3 * blk) == 0:
-                    rolled = whole
+                if off % 8 == 0:
+                    # sublane-aligned offset: pure static slice, no
+                    # cross-sublane shuffle
+                    xs = jax.lax.slice(
+                        whole, (blk + off, 0), (2 * blk + off, kt)
+                    )
                 else:
                     rolled = jnp.roll(whole, -off, axis=0)
-                xs = jax.lax.slice(rolled, (blk, 0), (2 * blk, kt))
+                    xs = jax.lax.slice(
+                        rolled, (blk, 0), (2 * blk, kt)
+                    )
                 acc = acc + (
                     dat_ref[d * blk : (d + 1) * blk].reshape(blk, 1)
                     * xs
@@ -153,11 +159,13 @@ def _make_kernel(offsets, blk, kt, acc_dtype):
         whole = jnp.concatenate([carry_ref[:], c, r_ref[:]], axis=0)
         acc = jnp.zeros((blk, kt), acc_dtype)
         for d, off in enumerate(offsets):
-            if off % (3 * blk) == 0:
-                rolled = whole
+            if off % 8 == 0:
+                xs = jax.lax.slice(
+                    whole, (blk + off, 0), (2 * blk + off, kt)
+                )
             else:
                 rolled = jnp.roll(whole, -off, axis=0)
-            xs = jax.lax.slice(rolled, (blk, 0), (2 * blk, kt))
+                xs = jax.lax.slice(rolled, (blk, 0), (2 * blk, kt))
             acc = acc + (
                 dat_ref[d, :].reshape(blk, 1) * xs
             ).astype(acc_dtype)

@@ -53,6 +53,19 @@ def _roll(v, shift, axis):
     return jnp.roll(v, shift, axis=axis)
 
 
+def _window_slice(whole, blk, off):
+    """xs[0, j] = whole[0, blk + j + off] for j in [0, blk).
+
+    Lane-aligned offsets (multiples of the 128-lane vreg width) are a
+    pure static aligned slice — no cross-lane shuffle at all; grid
+    Laplacian ±ny diagonals take this path.  Other offsets go through
+    the roll (cross-lane shuffles are the VPU-expensive part)."""
+    if off % 128 == 0:
+        return jax.lax.slice(whole, (0, blk + off), (1, 2 * blk + off))
+    rolled = _roll(whole, -off, axis=1)
+    return jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+
+
 def _make_kernel(offsets, blk, acc_dtype):
     def kernel(dat_ref, center_ref, right_ref, o_ref, carry_ref):
         # The left-neighbor block is last step's center, carried in VMEM
@@ -71,9 +84,7 @@ def _make_kernel(offsets, blk, acc_dtype):
         )  # (1, 3*blk); whole[0, blk + j] = x[base + j]
         acc = jnp.zeros((1, blk), acc_dtype)
         for d, off in enumerate(offsets):
-            # xs[0, j] = whole[0, blk + j + off]
-            rolled = _roll(whole, -off, axis=1)
-            xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+            xs = _window_slice(whole, blk, off)
             acc = acc + (dat_ref[d, :].reshape(1, blk) * xs).astype(
                 acc_dtype
             )
@@ -109,8 +120,7 @@ def _make_lag_kernel(offsets, blk, acc_dtype):
             )
             acc = jnp.zeros((1, blk), acc_dtype)
             for d, off in enumerate(offsets):
-                rolled = _roll(whole, -off, axis=1)
-                xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                xs = _window_slice(whole, blk, off)
                 acc = acc + (
                     dat_ref[d, :].reshape(1, blk) * xs
                 ).astype(acc_dtype)
@@ -151,8 +161,7 @@ def _make_flat_lag_kernel(offsets, blk, acc_dtype):
             )
             acc = jnp.zeros((1, blk), acc_dtype)
             for d, off in enumerate(offsets):
-                rolled = _roll(whole, -off, axis=1)
-                xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                xs = _window_slice(whole, blk, off)
                 acc = acc + (
                     dat_ref[d * blk : (d + 1) * blk].reshape(1, blk) * xs
                 ).astype(acc_dtype)
@@ -200,8 +209,7 @@ def _make_flatg_kernel(offsets, blk, grp, acc_dtype):
                 whole = jnp.concatenate([left, center, right], axis=1)
                 acc = jnp.zeros((1, blk), acc_dtype)
                 for d, off in enumerate(offsets):
-                    rolled = _roll(whole, -off, axis=1)
-                    xs = jax.lax.slice(rolled, (0, blk), (1, 2 * blk))
+                    xs = _window_slice(whole, blk, off)
                     seg = dat_ref[
                         (g * len(offsets) + d)
                         * blk : (g * len(offsets) + d + 1)
