@@ -71,10 +71,29 @@ def _seg_broadcast_exact(vals, tgt, prod_cap: int):
     deltas sum (mod 2^w), and the running total after that slot is still
     the next live value — the same property the ownership-map trick
     relies on.
+
+    A custom VJP is REQUIRED: the bitcast trick has zero gradient, so
+    without it grad-through-SpGEMM silently returned zeros for the
+    A-side values.  Mathematically this op is ``out[p] =
+    vals[owner(p)]`` — a linear gather — so the cotangent is a
+    segment-sum of the product cotangents back onto the entries.
+    Integer inputs (the q-base ``adj`` map) skip the custom-VJP wrapper
+    — their cotangent type is float0 and no gradient flows anyway.
     """
+    if jnp.issubdtype(vals.dtype, jnp.integer):
+        return _seg_broadcast_impl(vals, tgt, prod_cap)
+    return _seg_broadcast_float(vals, tgt, prod_cap)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _seg_broadcast_float(vals, tgt, prod_cap: int):
+    return _seg_broadcast_impl(vals, tgt, prod_cap)
+
+
+def _seg_broadcast_impl(vals, tgt, prod_cap: int):
     if jnp.issubdtype(vals.dtype, jnp.complexfloating):
-        re = _seg_broadcast_exact(jnp.real(vals), tgt, prod_cap)
-        im = _seg_broadcast_exact(jnp.imag(vals), tgt, prod_cap)
+        re = _seg_broadcast_impl(jnp.real(vals), tgt, prod_cap)
+        im = _seg_broadcast_impl(jnp.imag(vals), tgt, prod_cap)
         return jax.lax.complex(re, im)
     itemsize = vals.dtype.itemsize
     if itemsize >= 4:
@@ -89,6 +108,29 @@ def _seg_broadcast_exact(vals, tgt, prod_cap: int):
     ].add(d, mode="drop")
     out_bits = jnp.cumsum(buf, axis=0, dtype=bits.dtype)
     return jax.lax.bitcast_convert_type(out_bits, vals.dtype)
+
+
+def _seg_broadcast_fwd(vals, tgt, prod_cap: int):
+    return _seg_broadcast_impl(vals, tgt, prod_cap), (
+        tgt,
+        vals.shape[0],
+    )
+
+
+def _seg_broadcast_bwd(prod_cap, res, g):
+    tgt, n_entries = res
+    # owner(p) = index of the last segment starting at or before p
+    # (scatter-ones + prefix-sum; empty segments own no products)
+    rseg = jnp.zeros((prod_cap,), INDEX_DTYPE).at[tgt].add(
+        1, mode="drop"
+    )
+    owner = jnp.cumsum(rseg) - 1
+    owner = jnp.where(owner < 0, n_entries, owner)  # pre-segment slots
+    dvals = jax.ops.segment_sum(g, owner, num_segments=n_entries)
+    return dvals, jnp.zeros(tgt.shape, dtype=jax.dtypes.float0)
+
+
+_seg_broadcast_float.defvjp(_seg_broadcast_fwd, _seg_broadcast_bwd)
 
 
 def _expand_from_rows(

@@ -359,3 +359,44 @@ class TestJitAndAutodiff:
             )
 
         allclose(f(a, b).to_dense(), DA @ DB)
+
+
+class TestSpgemmAutodiff:
+    """grad through ESC SpGEMM vs the dense oracle.
+
+    Regression: the A-side values ride a bitcast delta-broadcast whose
+    builtin gradient is ZERO — without the custom VJP in
+    ops/spgemm.py::_seg_broadcast_float, grads silently vanished."""
+
+    def test_grads_match_dense_oracle(self):
+        rng = np.random.default_rng(3)
+        d1 = rng.standard_normal((6, 5)) * (rng.random((6, 5)) < 0.5)
+        d2 = rng.standard_normal((5, 7)) * (rng.random((5, 7)) < 0.5)
+        a, b = st.from_dense(d1), st.from_dense(d2)
+        w = rng.standard_normal((6, 7))
+
+        def loss(da, db):
+            aa = type(a)(a.indptr, a.indices, da, a.shape, a.storage)
+            bb = type(b)(b.indptr, b.indices, db, b.shape, b.storage)
+            c = st.spgemm(
+                aa, bb, prod_cap=64, out_cap=64, check_capacity=False
+            )
+            return (c.to_dense() * w).sum()
+
+        ga, gb = jax.grad(loss, argnums=(0, 1))(a.data, b.data)
+        assert float(np.abs(np.asarray(ga)).max()) > 0  # old bug: zeros
+        oracle_a = w @ d2.T
+        oracle_b = d1.T @ w
+        nnz_a, nnz_b = int(a.nnz), int(b.nnz)
+        rows_a = np.repeat(np.arange(6), np.diff(np.asarray(a.indptr)))
+        np.testing.assert_allclose(
+            np.asarray(ga)[:nnz_a],
+            oracle_a[rows_a, np.asarray(a.indices)[:nnz_a]],
+            rtol=1e-6,
+        )
+        rows_b = np.repeat(np.arange(5), np.diff(np.asarray(b.indptr)))
+        np.testing.assert_allclose(
+            np.asarray(gb)[:nnz_b],
+            oracle_b[rows_b, np.asarray(b.indices)[:nnz_b]],
+            rtol=1e-6,
+        )
