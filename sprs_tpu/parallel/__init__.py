@@ -5,6 +5,7 @@ from .dist import (
     DistCsMat,
     dist_spgemm,
     dist_spgemm_bshard,
+    dist_spmm,
     dist_spmv,
     dist_spmv_2d,
     shard_csr_2d,
@@ -28,6 +29,7 @@ __all__ = [
     "shard_csr_rows_halo_split",
     "dist_spgemm",
     "dist_spgemm_bshard",
+    "dist_spmm",
     "dist_spmv",
     "dist_spmv_2d",
     "dist_spmv_halo",

@@ -249,6 +249,55 @@ def dist_spmv(
     )(dmat.indptr, dmat.indices, dmat.data, x)
 
 
+def dist_spmm(
+    dmat: DistCsMat,
+    x,
+    mesh: Mesh,
+    *,
+    axis: str = "shards",
+    x_sharded: bool = False,
+) -> jax.Array:
+    """Y = A @ X for a dense RHS ``X (cols, k)`` with A row-sharded.
+
+    Multi-RHS twin of :func:`dist_spmv`: with ``x_sharded`` the RHS is
+    row-sharded and all-gathered over ICI inside the kernel, otherwise
+    replicated.  Output is row-sharded (padded length)."""
+    from ..ops.prod import spmm
+
+    x = jnp.asarray(x)
+    if x.ndim != 2 or x.shape[0] != dmat.shape[1]:
+        raise ShapeError(f"dist_spmm: A {dmat.shape}, X {x.shape}")
+    rows_per = dmat.rows_per_shard
+    cols = dmat.shape[1]
+
+    if x_sharded:
+        pad = dmat.n_shards * _cdiv(cols, dmat.n_shards) - cols
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+        def kernel(ip, ix, dt, xs):
+            xg = jax.lax.all_gather(xs, axis, tiled=True)[:cols]
+            local = CsMat(ip[0], ix[0], dt[0], (rows_per, cols), CSR)
+            return spmm(local, xg)
+
+        return jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+            out_specs=P(axis, None),
+        )(dmat.indptr, dmat.indices, dmat.data, xp)
+
+    def kernel(ip, ix, dt, xr):
+        local = CsMat(ip[0], ix[0], dt[0], (rows_per, cols), CSR)
+        return spmm(local, xr)
+
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None, None)),
+        out_specs=P(axis, None),
+    )(dmat.indptr, dmat.indices, dmat.data, x)
+
+
 def dist_spgemm(
     dmat: DistCsMat,
     b: CsMat,

@@ -237,3 +237,32 @@ class TestDistributedSolvers:
         np.testing.assert_allclose(
             np.asarray(plain.x), np.asarray(pre.x), atol=1e-7
         )
+
+
+class TestDistSpmm:
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_replicated_x(self, n_shards):
+        from sprs_tpu.parallel import dist_spmm
+
+        d = random_sparse(37, 23, seed=21)
+        m = st.from_dense(d)
+        dmat = shard_csr_rows(m, n_shards)
+        x = RNG.standard_normal((23, 6))
+        y = np.asarray(
+            dmat.assemble(dist_spmm(dmat, x, mesh_1d(n_shards)))
+        )
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
+
+    def test_sharded_x(self):
+        from sprs_tpu.parallel import dist_spmm
+
+        d = random_sparse(24, 24, seed=22)
+        m = st.from_dense(d)
+        dmat = shard_csr_rows(m, 4)
+        x = RNG.standard_normal((24, 3))
+        y = np.asarray(
+            dmat.assemble(
+                dist_spmm(dmat, x, mesh_1d(4), x_sharded=True)
+            )
+        )
+        np.testing.assert_allclose(y, d @ x, rtol=1e-10)
