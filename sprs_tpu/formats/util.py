@@ -189,11 +189,19 @@ def compress_coo(
     gid = jnp.cumsum(unique.astype(INDEX_DTYPE)) - 1
     required = jnp.sum(unique.astype(INDEX_DTYPE))
 
-    scatter_idx = jnp.where(unique, gid, out_cap)
+    # Every LIVE entry writes its column at its group slot: duplicates
+    # of a group share the same column value, so repeated writes are
+    # harmless, and live entries are a sorted prefix — the scatter
+    # indices are non-decreasing (cheaper lowering than the old
+    # unique-only scatter whose sentinel gaps broke sortedness).
+    # (sentinel = INT32_MAX, not out_cap: when required_nnz overflows
+    # out_cap the live gids exceed out_cap and a smaller sentinel would
+    # break the monotonicity the flag promises)
+    scatter_idx = jnp.where(live_sorted, gid, jnp.int32(2**31 - 1))
     out_indices = (
         jnp.zeros((out_cap,), dtype=INDEX_DTYPE)
         .at[scatter_idx]
-        .set(c, mode="drop")
+        .set(c, mode="drop", indices_are_sorted=True)
     )
     out_vals = tuple(
         jnp.zeros((out_cap,), dtype=v.dtype)
