@@ -72,8 +72,11 @@ def indptr_from_rows(rows: jax.Array, unique_valid: jax.Array, n_outer: int) -> 
     dropped by the scatter.
     """
     counts = jnp.zeros((n_outer,), dtype=INDEX_DTYPE)
+    # sole caller passes SORTED rows (compress_coo post-sort)
     counts = counts.at[rows].add(
-        unique_valid.astype(INDEX_DTYPE), mode="drop"
+        unique_valid.astype(INDEX_DTYPE),
+        mode="drop",
+        indices_are_sorted=True,
     )
     return indptr_from_row_counts(counts)
 
