@@ -31,20 +31,12 @@ B = N // 128
 
 
 def chain(f, x0, iters=10, rounds=3):
-    g = jax.jit(f)
-    y = g(x0)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(y)[0]).reshape(-1)[0])
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        y = x0
-        for _ in range(iters):
-            y = g(y)
-        _ = float(
-            np.asarray(jax.tree_util.tree_leaves(y)[0]).reshape(-1)[0]
-        )
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    # canonical fetch-terminated chained timer (device-side scalar
+    # index — a host np.asarray here would drag the whole array through
+    # the tunnel inside the timed window)
+    from sprs_tpu.utils.profile import chain_time_best
+
+    return chain_time_best(jax.jit(f), x0, iters=iters, rounds=rounds)
 
 
 def main():

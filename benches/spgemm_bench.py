@@ -45,34 +45,44 @@ def _time_chained(fn, reps: int = 5) -> float:
     return best
 
 
-def _time_device_chained(step, a0, reps: int = 5, rounds: int = 2) -> float:
-    """True chained device timing: y = step(y) with ONE terminal fetch.
+def _time_device_chained(step, a0, b, reps: int = 5, rounds: int = 2) -> float:
+    """True chained device timing: y = step(y, b) with ONE terminal
+    4-byte scalar fetch (device-side index, NOT np.asarray of the whole
+    array — that would drag the full result through the tunnel inside
+    the timed window).
 
     Independent repeated calls through the axon tunnel carry a
     ~100-150 ms per-call artifact (measured: a trivial 5.6M elementwise
     op "takes" 132 ms that way); only a dependency chain with a single
     scalar fetch at the end measures device time honestly (CLAUDE.md).
+    ``b`` is passed as an ARGUMENT every call — closing over it would
+    embed it as an HLO constant (CLAUDE.md remote-compile rule).
     """
-    y = step(a0)
-    _ = float(np.asarray(y.data).reshape(-1)[0])  # settle/compile
+    import jax.numpy as jnp
+
+    def fetch(m):
+        return float(jnp.asarray(m.data).reshape(-1)[0])
+
+    y = step(a0, b)
+    _ = fetch(y)  # settle/compile
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
         y = a0
         for _ in range(reps):
-            y = step(y)
-        _ = float(np.asarray(y.data).reshape(-1)[0])
+            y = step(y, b)
+        _ = fetch(y)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
 
-def _dependency_step(f, b):
-    """step(a) = a + 0*indicator(spgemm(a,b)): forces each iteration to
-    depend on the previous product without changing values (the isnan
-    indicator is opaque to constant folding)."""
+def _dependency_step(f):
+    """step(a, b) = a + 0*indicator(spgemm(a,b)): forces each iteration
+    to depend on the previous product without changing values (the
+    isnan indicator is opaque to constant folding)."""
     import jax.numpy as jnp
 
-    def step(a):
+    def step(a, b):
         c = f(a, b)
         dep = jnp.where(
             jnp.isnan(c.data.reshape(-1)[0]), 1.0, 0.0
@@ -116,7 +126,7 @@ def bench_one(shape_a, shape_b, density, seed=0):
         )
     )
     c = f(a, b)  # compile + warm
-    t_sprs = _time_device_chained(jax.jit(_dependency_step(f, b)), a)
+    t_sprs = _time_device_chained(jax.jit(_dependency_step(f)), a, b)
 
     c_np = np.asarray(c.to_dense()) if c.shape[0] * c.shape[1] <= 1e7 else None
     ok = True

@@ -127,12 +127,32 @@ def prepare_spmm(mat: CsMat, *, use_pallas: Optional[bool] = None):
     from ..formats.dia import dia_from_csmat, dia_spmm, n_diags_of
     from ..formats.ell import ell_from_csmat, ell_overhead, ell_spmm
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     k = n_diags_of(mat)
     n_outer = max(mat.rows, 1)
     nnz = int(mat.nnz)
     dia_fill = nnz / max(k * n_outer, 1)
     if k <= 32 or (k <= 64 and dia_fill >= 0.25):
         dia = dia_from_csmat(mat)
+        if use_pallas:
+            from .pallas import dia_spmm_pallas
+
+            def fn(m, x):
+                # lane padding makes the Pallas kernel waste X/Y
+                # traffic below 128 RHS columns (ops/pallas/dia_spmm.py
+                # measurements); the fused XLA twin wins there.  Shapes
+                # are static under jit, so this is a trace-time branch.
+                if x.shape[1] >= 256:
+                    return dia_spmm_pallas(
+                        m,
+                        x,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                return dia_spmm(m, x)
+
+            return fn, dia
         return (lambda m, x: dia_spmm(m, x)), dia
     if ell_overhead(mat) < 1.2:
         return (lambda m, x: ell_spmm(m, x)), ell_from_csmat(mat)

@@ -202,3 +202,22 @@ class TestPrepareSpmm:
         np.testing.assert_allclose(
             np.asarray(fn(prep, x)), d @ x, rtol=1e-10
         )
+
+    def test_use_pallas_wide_rhs(self):
+        import jax
+
+        from sprs_tpu.ops.prod import prepare_spmm
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        lap = dirichlet_laplacian((8, 8), dtype=np.float32)
+        fn, prep = prepare_spmm(lap, use_pallas=True)
+        x = np.random.default_rng(1).standard_normal((64, 256)).astype(
+            np.float32
+        )
+        y = fn(prep, x)  # wide RHS -> pallas lagflat (interpret on CPU)
+        np.testing.assert_allclose(
+            np.asarray(y),
+            np.asarray(lap.to_dense()) @ x,
+            rtol=2e-4,
+            atol=2e-4,
+        )
