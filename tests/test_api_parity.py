@@ -221,3 +221,17 @@ class TestPrepareSpmm:
             rtol=2e-4,
             atol=2e-4,
         )
+
+
+class TestChainTimers:
+    def test_chain_time_best_runs_and_is_positive(self):
+        import jax.numpy as jnp
+
+        from sprs_tpu.utils.profile import chain_time, chain_time_best
+
+        x0 = jnp.arange(1024.0)
+        step = lambda v: v * 1.0000001  # noqa: E731
+        t1 = chain_time(step, x0, iters=3)
+        t2 = chain_time_best(step, x0, iters=3, rounds=2)
+        assert t1 > 0 and t2 > 0
+        assert t2 <= t1 * 50  # same order of magnitude
