@@ -184,12 +184,77 @@ def bsr_from_dense(
 def bsr_from_csmat(
     mat: CsMat, block_size: int = 128, *, cap: Optional[int] = None
 ) -> BsrMat:
-    """Host-side CSR → BSR conversion (concrete matrices only)."""
-    return bsr_from_dense(
-        np.asarray(mat.to_dense()),
-        block_size,
-        cap=cap,
-        dtype=mat.data.dtype,
+    """Host-side CSR → BSR conversion (concrete matrices only).
+
+    Sparse-native: blocks are derived from the entry coordinates alone
+    (O(nnz) host work), never by densifying — a 1M² matrix with 10M
+    entries converts in milliseconds where the old dense detour would
+    have materialized 4 TB.  A block exists iff it contains at least
+    one STRUCTURAL entry (explicit stored zeros keep their block, a
+    minor semantic difference from ``bsr_from_dense``'s eps filter);
+    empty block rows get one explicit zero block (kernel invariant),
+    matching :func:`bsr_from_dense`.
+    """
+    a = mat.to_csr()
+    indptr = np.asarray(a.indptr)
+    nnz = int(indptr[-1])
+    cols = np.asarray(a.indices)[:nnz]
+    vals = np.asarray(a.data)[:nnz]
+    rows = np.repeat(
+        np.arange(a.rows, dtype=np.int64), np.diff(indptr)
+    )
+    r, c = a.shape
+    bs = block_size
+    nbr, nbc = _round_up(r, bs) // bs, _round_up(c, bs) // bs
+
+    br = rows // bs
+    bc = cols.astype(np.int64) // bs
+    key = br * nbc + bc
+    uniq = np.unique(key)  # sorted == (brow, bcol) lexicographic
+    blk_of = np.searchsorted(uniq, key)
+    u_br = (uniq // nbc).astype(np.int32)
+    u_bc = (uniq % nbc).astype(np.int32)
+
+    # explicit zero block for empty block rows
+    present = np.zeros(nbr, dtype=bool)
+    present[u_br] = True
+    missing = np.nonzero(~present)[0].astype(np.int32)
+    all_br = np.concatenate([u_br, missing])
+    all_bc = np.concatenate(
+        [u_bc, np.zeros(missing.size, np.int32)]
+    )
+    order = np.lexsort((all_bc, all_br))
+    pos = np.empty(all_br.size, np.int64)
+    pos[order] = np.arange(all_br.size)
+    blk_new = pos[blk_of]  # real blocks are the first uniq.size slots
+
+    n_blocks = all_br.size
+    blocks = np.zeros((n_blocks, bs, bs), dtype=vals.dtype)
+    blocks[blk_new, rows % bs, cols % bs] = vals
+    brows = all_br[order]
+    bcols = all_bc[order]
+
+    if cap is None:
+        cap = n_blocks
+    if cap < n_blocks:
+        raise ShapeError(f"cap {cap} < n_blocks {n_blocks}")
+    if cap > n_blocks:
+        pad = cap - n_blocks
+        brows = np.concatenate(
+            [brows, np.full((pad,), brows[-1], dtype=np.int32)]
+        )
+        bcols = np.concatenate(
+            [bcols, np.zeros((pad,), dtype=np.int32)]
+        )
+        blocks = np.concatenate(
+            [blocks, np.zeros((pad, bs, bs), dtype=vals.dtype)]
+        )
+    return BsrMat(
+        jnp.asarray(brows, INDEX_DTYPE),
+        jnp.asarray(bcols, INDEX_DTYPE),
+        jnp.asarray(blocks, mat.data.dtype),
+        (r, c),
+        int(n_blocks),
     )
 
 

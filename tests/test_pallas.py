@@ -520,3 +520,64 @@ class TestSortRows:
                 jnp.zeros((4, 64), jnp.float32),
                 interpret=True,
             )
+
+
+class TestBsrFromCsmat:
+    """Sparse-native CSR->BSR (no densify detour)."""
+
+    def test_matches_dense_path(self):
+        d = random_block_dense(5, 7, 8, 0.35, seed=50)
+        via_sparse = st.from_dense(d).to_bsr(8)
+        via_dense = bsr_from_dense(d, 8)
+        np.testing.assert_allclose(
+            np.asarray(via_sparse.to_dense()),
+            np.asarray(via_dense.to_dense()),
+        )
+        assert via_sparse.n_blocks == via_dense.n_blocks
+        np.testing.assert_array_equal(
+            np.asarray(via_sparse.brows)[: via_sparse.n_blocks],
+            np.asarray(via_dense.brows)[: via_dense.n_blocks],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_sparse.bcols)[: via_sparse.n_blocks],
+            np.asarray(via_dense.bcols)[: via_dense.n_blocks],
+        )
+
+    def test_unaligned_shape_and_empty_block_rows(self):
+        d = np.zeros((20, 19), np.float32)
+        d[0, 0] = 1.0
+        d[17, 18] = 2.0  # block row 2, block col 2 at bs=8
+        b = st.from_dense(d).to_bsr(8)
+        assert b.shape == (20, 19)
+        np.testing.assert_allclose(np.asarray(b.to_dense()), d)
+        # block row 1 is empty -> explicit zero block present
+        assert 1 in np.asarray(b.brows)[: b.n_blocks].tolist()
+
+    def test_huge_shape_does_not_densify(self):
+        import time
+
+        from sprs_tpu.formats.csmat import csmat
+
+        n = 200_000  # dense would be 320 GB
+        m = csmat(
+            (n, n),
+            np.concatenate(
+                [[0, 2, 3], np.full(n - 2, 3, np.int64)]
+            ).astype(np.int32),
+            np.array([5, n - 1, 100_000], np.int32),
+            np.array([1.0, 2.0, 3.0], np.float32),
+        )
+        t0 = time.perf_counter()
+        b = m.to_bsr(128)
+        assert time.perf_counter() - t0 < 30.0
+        assert b.shape == (n, n)
+        got = {
+            (int(r), int(c))
+            for r, c in zip(
+                np.asarray(b.brows)[: b.n_blocks],
+                np.asarray(b.bcols)[: b.n_blocks],
+            )
+        }
+        assert (0, 0) in got and (0, (n - 1) // 128) in got
+        assert (0, 100_000 // 128) in got  # row 1 lives in block row 0
+        assert (1, 0) in got  # empty block row -> explicit zero block
