@@ -2,6 +2,7 @@
 
 from .bicgstab import BiCgStabResult, bicgstab
 from .cg import CgResult, cg
+from .gmres import GmresResult, gmres
 from .etree import etree_from_pattern, postorder, tree_levels
 from .ilu import Ic0, Ilu0, ic0, ilu0
 from .iterative import IterativeResult, gauss_seidel, jacobi
@@ -33,6 +34,8 @@ __all__ = [
     "Ilu0",
     "ic0",
     "ilu0",
+    "GmresResult",
+    "gmres",
     "etree_from_pattern",
     "postorder",
     "tree_levels",

@@ -177,3 +177,71 @@ class TestPreconditionedBicgstab:
         np.testing.assert_allclose(
             np.asarray(pre.x), np.linalg.solve(a, b), rtol=1e-5
         )
+
+
+class TestGmres:
+    def test_solves_nonsymmetric(self):
+        d = random_diag_dominant(40, 0.25, seed=11)
+        b = np.random.default_rng(12).standard_normal(40)
+        from sprs_tpu.linalg import gmres
+
+        res = gmres(st.from_dense(d), b, tol=1e-10, restart=20)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
+        )
+
+    def test_matvec_callable_and_restarts(self):
+        import jax.numpy as jnp
+
+        from sprs_tpu.linalg import gmres
+
+        d = random_diag_dominant(50, 0.2, seed=13)
+        b = np.ones(50)
+        res = gmres(
+            lambda v: jnp.asarray(d) @ v, b, tol=1e-9, restart=8
+        )
+        assert res.converged
+        assert res.iterations > 8  # needed more than one cycle
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-5
+        )
+
+    def test_ilu0_preconditioner_accelerates(self):
+        from sprs_tpu.linalg import gmres
+
+        lap = dirichlet_laplacian((12, 12), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        n = d.shape[0]
+        rng = np.random.default_rng(14)
+        adv = np.zeros_like(d)
+        off = (d != 0) & ~np.eye(n, dtype=bool)
+        adv[off] = 0.3 * rng.standard_normal(int(off.sum()))
+        a = st.from_dense(d + adv)
+        b = np.ones(n)
+        plain = gmres(a, b, tol=1e-8, restart=20, max_iter=2000)
+        pre = gmres(
+            a, b, tol=1e-8, restart=20, max_iter=2000, precond=ilu0(a)
+        )
+        assert plain.converged and pre.converged
+        assert pre.iterations < plain.iterations
+        np.testing.assert_allclose(
+            np.asarray(pre.x), np.linalg.solve(d + adv, b), rtol=1e-5
+        )
+
+    def test_jittable(self):
+        import jax
+
+        from sprs_tpu.linalg import gmres
+
+        d = random_diag_dominant(16, 0.3, seed=15)
+        m = st.from_dense(d)
+        b = np.ones(16)
+
+        @jax.jit
+        def run(mat, rhs):
+            return gmres(mat, rhs, tol=1e-9, restart=8, max_iter=200).x
+
+        np.testing.assert_allclose(
+            np.asarray(run(m, b)), np.linalg.solve(d, b), rtol=1e-5
+        )
