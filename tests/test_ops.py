@@ -400,3 +400,43 @@ class TestSpgemmAutodiff:
             oracle_b[rows_b, np.asarray(b.indices)[:nnz_b]],
             rtol=1e-6,
         )
+
+
+class TestVmapSamePattern:
+    """vmap over VALUES with a shared pattern: one compile serves a
+    batch of same-structure matrices (the capacity-padding payoff)."""
+
+
+    def test_vmap_spmv_over_data(self):
+        d = np.array([[1.0, 0, 2], [0, 3, 0], [4, 0, 5]])
+        m = st.from_dense(d)
+        batch = np.stack(
+            [np.asarray(m.data) * s for s in (1.0, 2.0, -0.5)]
+        )
+        x = np.ones(3)
+
+        def f(data):
+            mm = type(m)(m.indptr, m.indices, data, m.shape, m.storage)
+            return st.spmv(mm, x)
+
+        import jax.numpy as jnp
+
+        ys = jax.vmap(f)(jnp.asarray(batch))
+        for i, s in enumerate((1.0, 2.0, -0.5)):
+            np.testing.assert_allclose(
+                np.asarray(ys)[i], (d * s) @ x, rtol=1e-10
+            )
+
+    def test_vmap_grad_composition(self):
+        d = np.array([[2.0, 1.0], [0.0, 3.0]])
+        m = st.from_dense(d)
+        import jax.numpy as jnp
+
+        batch = jnp.stack([m.data, 2 * m.data])
+
+        def loss(data):
+            mm = type(m)(m.indptr, m.indices, data, m.shape, m.storage)
+            return jnp.sum(st.spmv(mm, jnp.ones(2)) ** 2)
+
+        gs = jax.vmap(jax.grad(loss))(batch)
+        assert gs.shape == batch.shape
