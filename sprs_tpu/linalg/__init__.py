@@ -3,6 +3,7 @@
 from .bicgstab import BiCgStabResult, bicgstab
 from .cg import CgResult, cg
 from .gmres import GmresResult, gmres
+from .lobpcg import LobpcgResult, lobpcg
 from .etree import etree_from_pattern, postorder, tree_levels
 from .ilu import Ic0, Ilu0, ic0, ilu0
 from .iterative import IterativeResult, gauss_seidel, jacobi
@@ -36,6 +37,8 @@ __all__ = [
     "ilu0",
     "GmresResult",
     "gmres",
+    "LobpcgResult",
+    "lobpcg",
     "etree_from_pattern",
     "postorder",
     "tree_levels",

@@ -245,3 +245,54 @@ class TestGmres:
         np.testing.assert_allclose(
             np.asarray(run(m, b)), np.linalg.solve(d, b), rtol=1e-5
         )
+
+
+class TestLobpcg:
+    def test_smallest_eigenpairs_match_eigh(self):
+        from sprs_tpu.linalg import lobpcg
+
+        lap = dirichlet_laplacian((10, 10), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        n = d.shape[0]
+        true = np.linalg.eigvalsh(d)[:3]
+        x0 = np.random.default_rng(0).standard_normal((n, 3))
+        res = lobpcg(lap, x0, tol=1e-8, max_iter=300)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.eigenvalues), true, rtol=1e-6
+        )
+        # eigenvector residuals small: ||A v - lam v||
+        v = np.asarray(res.eigenvectors)
+        for i in range(3):
+            r = d @ v[:, i] - true[i] * v[:, i]
+            assert np.linalg.norm(r) < 1e-5
+
+    def test_ic0_preconditioning_accelerates(self):
+        from sprs_tpu.linalg import lobpcg
+
+        lap = dirichlet_laplacian((12, 12), dtype=np.float64)
+        n = lap.shape[0]
+        x0 = np.random.default_rng(1).standard_normal((n, 4))
+        plain = lobpcg(lap, x0, tol=1e-8, max_iter=300)
+        pre = lobpcg(
+            lap, x0, tol=1e-8, max_iter=300, precond=ic0(lap)
+        )
+        assert plain.converged and pre.converged
+        assert pre.iterations < plain.iterations
+        np.testing.assert_allclose(
+            np.asarray(pre.eigenvalues),
+            np.asarray(plain.eigenvalues),
+            rtol=1e-6,
+        )
+
+    def test_matvec_callable(self):
+        import jax.numpy as jnp
+
+        from sprs_tpu.linalg import lobpcg
+
+        d = np.diag(np.arange(1.0, 21.0))
+        x0 = np.random.default_rng(2).standard_normal((20, 2))
+        res = lobpcg(lambda v: jnp.asarray(d) @ v, x0, tol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(res.eigenvalues), [1.0, 2.0], rtol=1e-7
+        )
