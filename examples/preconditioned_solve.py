@@ -58,6 +58,21 @@ def main():
         f"residual={pre_b.residual_norm:.2e} converged={pre_b.converged}"
     )
 
+    # smallest eigenpairs of the SPD operator, IC(0)-accelerated
+    from sprs_tpu.linalg import lobpcg
+
+    x0 = np.random.default_rng(1).standard_normal((n, 3))
+    eig_plain = lobpcg(lap, x0, tol=1e-7, max_iter=300)
+    eig_pre = lobpcg(lap, x0, tol=1e-7, max_iter=300, precond=ic0(lap))
+    print(
+        f"lobpcg  plain: iters={eig_plain.iterations} "
+        f"eigs={np.asarray(eig_plain.eigenvalues).round(5)}"
+    )
+    print(
+        f"lobpcg ic0   : iters={eig_pre.iterations} "
+        f"eigs={np.asarray(eig_pre.eigenvalues).round(5)}"
+    )
+
 
 if __name__ == "__main__":
     main()
