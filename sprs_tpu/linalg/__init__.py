@@ -4,6 +4,7 @@ from .bicgstab import BiCgStabResult, bicgstab
 from .cg import CgResult, cg
 from .gmres import GmresResult, gmres
 from .lobpcg import LobpcgResult, lobpcg
+from .lsqr import LsqrResult, lsqr
 from .etree import etree_from_pattern, postorder, tree_levels
 from .ilu import Ic0, Ilu0, ic0, ilu0
 from .iterative import IterativeResult, gauss_seidel, jacobi
@@ -39,6 +40,8 @@ __all__ = [
     "gmres",
     "LobpcgResult",
     "lobpcg",
+    "LsqrResult",
+    "lsqr",
     "etree_from_pattern",
     "postorder",
     "tree_levels",

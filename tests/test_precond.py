@@ -296,3 +296,50 @@ class TestLobpcg:
         np.testing.assert_allclose(
             np.asarray(res.eigenvalues), [1.0, 2.0], rtol=1e-7
         )
+
+
+class TestLsqr:
+    def test_overdetermined_matches_lstsq(self):
+        from sprs_tpu.linalg import lsqr
+
+        rng = np.random.default_rng(20)
+        d = rng.standard_normal((60, 25))
+        d[rng.random((60, 25)) > 0.4] = 0.0
+        m = st.from_dense(d)
+        b = rng.standard_normal(60)
+        res = lsqr(m, b, tol=1e-12, max_iter=500)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x),
+            np.linalg.lstsq(d, b, rcond=None)[0],
+            rtol=1e-6,
+            atol=1e-9,
+        )
+
+    def test_square_consistent(self):
+        from sprs_tpu.linalg import lsqr
+
+        rng = np.random.default_rng(21)
+        d = rng.standard_normal((30, 30)) + 30 * np.eye(30)
+        b = d @ np.ones(30)
+        res = lsqr(st.from_dense(d), b, tol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.ones(30), rtol=1e-8
+        )
+
+    def test_callable_pair(self):
+        import jax.numpy as jnp
+
+        from sprs_tpu.linalg import lsqr
+
+        d = np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 2.0]])
+        b = np.array([1.0, 2.0, 2.0])
+        aj = jnp.asarray(d)
+        res = lsqr(
+            (lambda v: aj @ v, lambda u: aj.T @ u), b, tol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x),
+            np.linalg.lstsq(d, b, rcond=None)[0],
+            rtol=1e-8,
+        )
