@@ -26,11 +26,16 @@ from .lu import splu
 
 
 def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
-    """Solve A x = b with a direct factorization, differentiably.
+    """Solve A x = b differentiably.
 
-    Factorization happens on the host at trace time (concrete matrix
-    required); the returned computation is jittable and reverse-mode
-    differentiable in ``b`` and ``mat.data``.
+    ``method``: "auto" (LDL if symmetric else LU), "ldl", "lu", or an
+    iterative solver "cg" / "bicgstab" / "gmres" (options ``tol``,
+    ``max_iter``, ``precond``).  Direct factorization happens on the
+    host at trace time (concrete matrix required); iterative methods
+    also accept traced values.  Either way the returned computation is
+    jittable and reverse-mode differentiable in ``b`` and ``mat.data``
+    via ``lax.custom_linear_solve`` — gradients cost one adjoint solve,
+    never differentiation through the factorization/iteration.
     """
     from ..formats.util import is_concrete
 
@@ -63,6 +68,63 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
             fac = splu(mat, **factor_kw)
             fwd = fac.solve
             tr = fac.solve_transposed
+        elif method in ("cg", "bicgstab", "gmres"):
+            # differentiable ITERATIVE solve: custom_linear_solve only
+            # needs a solver for A and one for Aᵀ (metadata-free here);
+            # gradients then cost one extra solve, never
+            # differentiation through the iteration.  ``precond``
+            # applies to the forward solve only (preconditioning
+            # affects convergence speed, not the solution the implicit
+            # gradient is defined by).
+            tol = factor_kw.pop("tol", 1e-10)
+            max_iter = factor_kw.pop("max_iter", 10000)
+            precond = factor_kw.pop("precond", None)
+            if factor_kw:
+                raise TypeError(
+                    f"unknown solve options {sorted(factor_kw)}"
+                )
+            # Bind matvecs NOW (host dispatch happens eagerly under
+            # ensure_compile_time_eval); the solver callbacks run
+            # inside the custom_linear_solve trace where host-side
+            # structure analysis would stage tracers and fail.
+            if concrete:
+                from ..ops.prod import prepare_spmv
+
+                f_fn, f_prep = prepare_spmv(mat)
+                a_op = lambda v: f_fn(f_prep, v)  # noqa: E731
+                t_fn, t_prep = prepare_spmv(mat.T.to_csr())
+                at_op = lambda v: t_fn(t_prep, v)  # noqa: E731
+            else:
+                a_op = lambda v: spmv(mat, v)  # noqa: E731
+                at_op = lambda v: spmv(mat.T, v)  # noqa: E731
+            if method == "cg":
+                from .cg import cg as _it
+
+                fwd = lambda rhs: _it(  # noqa: E731
+                    a_op, rhs, tol=tol, max_iter=max_iter,
+                    precond=precond,
+                ).x
+                tr = fwd  # SPD: adjoint solve == solve
+            elif method == "bicgstab":
+                from .bicgstab import bicgstab as _it
+
+                fwd = lambda rhs: _it(  # noqa: E731
+                    a_op, rhs, tol=tol, max_iter=max_iter,
+                    precond=precond,
+                ).x
+                tr = lambda rhs: _it(  # noqa: E731
+                    at_op, rhs, tol=tol, max_iter=max_iter
+                ).x
+            else:
+                from .gmres import gmres as _it
+
+                fwd = lambda rhs: _it(  # noqa: E731
+                    a_op, rhs, tol=tol, max_iter=max_iter,
+                    precond=precond,
+                ).x
+                tr = lambda rhs: _it(  # noqa: E731
+                    at_op, rhs, tol=tol, max_iter=max_iter
+                ).x
         else:
             raise ValueError(f"unknown solve method {method!r}")
 
@@ -74,9 +136,18 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
             jax.vmap(lambda col: spmv(csr, col), in_axes=1, out_axes=1)(v)
         )
 
+    def cols(solver):
+        # iterative solvers take 1-D rhs; vmap over columns for 2-D
+        def run(rhs):
+            if rhs.ndim == 1:
+                return solver(rhs)
+            return jax.vmap(solver, in_axes=1, out_axes=1)(rhs)
+
+        return run
+
     return jax.lax.custom_linear_solve(
         matvec,
         b,
-        solve=lambda _, rhs: fwd(rhs),
-        transpose_solve=lambda _, rhs: tr(rhs),
+        solve=lambda _, rhs: cols(fwd)(rhs),
+        transpose_solve=lambda _, rhs: cols(tr)(rhs),
     )

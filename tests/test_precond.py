@@ -343,3 +343,61 @@ class TestLsqr:
             np.linalg.lstsq(d, b, rcond=None)[0],
             rtol=1e-8,
         )
+
+
+class TestIterativeSolveFrontDoor:
+    """linalg.solve(method='cg'/'bicgstab'/'gmres'): implicit-diff
+    iterative solves through lax.custom_linear_solve."""
+
+    def test_solutions_match_direct(self):
+        from sprs_tpu.linalg import solve
+
+        lap = dirichlet_laplacian((8, 8), dtype=np.float64)
+        d = np.asarray(lap.to_dense())
+        b = np.random.default_rng(30).standard_normal(64)
+        ref = np.linalg.solve(d, b)
+        for meth in ("cg", "bicgstab", "gmres"):
+            x = solve(lap, b, method=meth, tol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(x), ref, rtol=1e-7, atol=1e-9
+            )
+
+    def test_gradients_match_direct_method(self):
+        import jax
+
+        from sprs_tpu.linalg import solve
+
+        lap = dirichlet_laplacian((6, 6), dtype=np.float64)
+        b = np.ones(36)
+
+        def loss(data, rhs, method):
+            m = type(lap)(
+                lap.indptr, lap.indices, data, lap.shape, lap.storage
+            )
+            kw = {} if method == "ldl" else {"tol": 1e-13}
+            return (solve(m, rhs, method=method, **kw) ** 2).sum()
+
+        gd_ref, gb_ref = jax.grad(
+            lambda d_, r_: loss(d_, r_, "ldl"), argnums=(0, 1)
+        )(lap.data, b)
+        gd, gb = jax.grad(
+            lambda d_, r_: loss(d_, r_, "cg"), argnums=(0, 1)
+        )(lap.data, b)
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(gb_ref), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gd), np.asarray(gd_ref), rtol=1e-5, atol=1e-9
+        )
+
+    def test_preconditioned_iterative_solve(self):
+        from sprs_tpu.linalg import solve
+
+        lap = dirichlet_laplacian((10, 10), dtype=np.float64)
+        b = np.ones(100)
+        x = solve(lap, b, method="cg", tol=1e-11, precond=ic0(lap))
+        np.testing.assert_allclose(
+            np.asarray(x),
+            np.linalg.solve(np.asarray(lap.to_dense()), b),
+            rtol=1e-7,
+        )
