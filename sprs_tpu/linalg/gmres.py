@@ -109,10 +109,10 @@ def gmres(
             V, H = carry
             z = m_op(V[:, j])
             w = a_op(z)
-            mask = (col <= j).astype(dtype)
-            h1 = (V.T @ w) * mask
+            mask = (col <= j).astype(w.real.dtype)
+            h1 = (jnp.conjugate(V).T @ w) * mask
             w = w - V @ h1
-            h2 = (V.T @ w) * mask  # CGS2 reorthogonalization
+            h2 = (jnp.conjugate(V).T @ w) * mask  # CGS2 reorthogonalize
             w = w - V @ h2
             h = h1 + h2
             hj1 = jnp.linalg.norm(w)

@@ -68,6 +68,10 @@ def lobpcg(
     m_op = precond if precond is not None else (lambda v: v)
 
     x = jnp.asarray(x0)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "lobpcg: complex (Hermitian) operators not supported yet"
+        )
     n, m = x.shape
     x = _orthonormalize(x)
 

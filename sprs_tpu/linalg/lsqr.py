@@ -59,6 +59,10 @@ def lsqr(
         rows = cols = None
 
     b = jnp.asarray(b)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "lsqr: complex systems not supported yet"
+        )
     if rows is not None and b.shape != (rows,):
         raise ShapeError(f"rhs shape {b.shape}, expected ({rows},)")
     dtype = b.dtype

@@ -401,3 +401,24 @@ class TestIterativeSolveFrontDoor:
             np.linalg.solve(np.asarray(lap.to_dense()), b),
             rtol=1e-7,
         )
+
+
+class TestGmresComplex:
+    def test_complex_system(self):
+        from sprs_tpu.linalg import gmres
+
+        rng = np.random.default_rng(31)
+        d = (
+            rng.standard_normal((24, 24))
+            + 1j * rng.standard_normal((24, 24))
+        )
+        d[np.abs(rng.standard_normal((24, 24))) < 0.8] = 0.0
+        d[np.arange(24), np.arange(24)] = (
+            np.abs(d).sum(1) + 2.0
+        )  # diag dominant
+        b = rng.standard_normal(24) + 1j * rng.standard_normal(24)
+        res = gmres(st.from_dense(d), b, tol=1e-10, restart=12)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
+        )
