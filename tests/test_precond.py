@@ -422,3 +422,31 @@ class TestGmresComplex:
         np.testing.assert_allclose(
             np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
         )
+
+
+class TestComplexKrylov:
+    def test_cg_hermitian(self):
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((20, 20)) + 1j * rng.standard_normal(
+            (20, 20)
+        )
+        h = a @ a.conj().T + 20 * np.eye(20)
+        b = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+        res = cg(st.from_dense(h), b, tol=1e-10)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(h, b), rtol=1e-8
+        )
+
+    def test_bicgstab_general_complex(self):
+        rng = np.random.default_rng(8)
+        a = rng.standard_normal((20, 20)) + 1j * rng.standard_normal(
+            (20, 20)
+        )
+        g = a + 20 * np.eye(20)
+        b = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+        res = bicgstab(st.from_dense(g), b, tol=1e-10)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(g, b), rtol=1e-7
+        )
