@@ -65,18 +65,25 @@ def indptr_from_row_counts(row_counts: jax.Array) -> jax.Array:
     return jnp.concatenate([z, jnp.cumsum(row_counts, dtype=INDEX_DTYPE)])
 
 
-def indptr_from_rows(rows: jax.Array, unique_valid: jax.Array, n_outer: int) -> jax.Array:
+def indptr_from_rows(
+    rows: jax.Array,
+    unique_valid: jax.Array,
+    n_outer: int,
+    *,
+    rows_sorted: bool = False,
+) -> jax.Array:
     """Build indptr by histogramming row ids of live unique entries.
 
     ``rows`` may contain the sentinel ``n_outer`` for padding; those are
-    dropped by the scatter.
+    dropped by the scatter.  Pass ``rows_sorted=True`` ONLY when rows
+    are non-decreasing (XLA treats the sortedness hint as
+    correctness-relevant).
     """
     counts = jnp.zeros((n_outer,), dtype=INDEX_DTYPE)
-    # sole caller passes SORTED rows (compress_coo post-sort)
     counts = counts.at[rows].add(
         unique_valid.astype(INDEX_DTYPE),
         mode="drop",
-        indices_are_sorted=True,
+        indices_are_sorted=rows_sorted,
     )
     return indptr_from_row_counts(counts)
 
@@ -215,7 +222,9 @@ def compress_coo(
     # Entries whose group id overflowed out_cap were dropped above; clamp
     # the reported nnz accordingly.
     nnz = jnp.minimum(required, out_cap).astype(INDEX_DTYPE)
-    indptr = indptr_from_rows(r, unique & (gid < out_cap), n_outer)
+    indptr = indptr_from_rows(
+        r, unique & (gid < out_cap), n_outer, rows_sorted=True
+    )
     return CompressedCoo(
         indptr=indptr,
         indices=out_indices,

@@ -60,25 +60,9 @@ def bicgstab(
     :class:`sprs_tpu.linalg.Ilu0`).  Beyond the reference surface, which
     is unpreconditioned (bicgstab.rs:95-112).
     """
-    if isinstance(mat, CsMat):
-        if mat.shape[0] != mat.shape[1]:
-            raise NonSquareMatrixError(f"bicgstab needs square, got {mat.shape}")
-        from ..formats.util import is_concrete
+    from ._dispatch import as_matvec
 
-        if is_concrete(mat.indptr, mat.indices):
-            # host-side structure dispatch: banded systems (e.g. after
-            # the RCM ordering this library ships) ride the DIA
-            # fast path instead of the scatter-bound CSR segment-sum
-            from ..ops.prod import prepare_spmv
-
-            fn, prepared = prepare_spmv(mat)
-            a_op = lambda v: fn(prepared, v)  # noqa: E731
-        else:
-            a_op = lambda v: spmv(mat, v)  # noqa: E731
-        n = mat.shape[0]
-    else:
-        a_op = mat
-        n = None
+    a_op, n = as_matvec(mat)
     m_op = precond if precond is not None else (lambda v: v)
     if isinstance(b, CsVec):
         b = b.to_dense()

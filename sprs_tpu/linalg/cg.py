@@ -42,22 +42,9 @@ def cg(
 ) -> CgResult:
     """Solve A x = b for SPD A; ``mat`` may be a CsMat or a matvec
     callable.  ``precond`` applies M⁻¹ (must also be SPD)."""
-    if isinstance(mat, CsMat):
-        if mat.shape[0] != mat.shape[1]:
-            raise NonSquareMatrixError(f"cg needs square, got {mat.shape}")
-        from ..formats.util import is_concrete
+    from ._dispatch import as_matvec
 
-        if is_concrete(mat.indptr, mat.indices):
-            from ..ops.prod import prepare_spmv
-
-            fn, prepared = prepare_spmv(mat)
-            a_op = lambda v: fn(prepared, v)  # noqa: E731
-        else:
-            a_op = lambda v: spmv(mat, v)  # noqa: E731
-        n = mat.shape[0]
-    else:
-        a_op = mat
-        n = None
+    a_op, n = as_matvec(mat)
     m_op = precond if precond is not None else (lambda v: v)
 
     if isinstance(b, CsVec):

@@ -57,24 +57,9 @@ def gmres(
 
     ``restart`` is the Krylov subspace dimension m; ``max_iter`` bounds
     the TOTAL number of inner steps across cycles."""
-    if isinstance(mat, CsMat):
-        if mat.shape[0] != mat.shape[1]:
-            raise NonSquareMatrixError(
-                f"gmres needs square, got {mat.shape}"
-            )
-        from ..formats.util import is_concrete
+    from ._dispatch import as_matvec
 
-        if is_concrete(mat.indptr, mat.indices):
-            from ..ops.prod import prepare_spmv
-
-            fn, prepared = prepare_spmv(mat)
-            a_op = lambda v: fn(prepared, v)  # noqa: E731
-        else:
-            a_op = lambda v: spmv(mat, v)  # noqa: E731
-        n = mat.shape[0]
-    else:
-        a_op = mat
-        n = None
+    a_op, n = as_matvec(mat)
     m_op = precond if precond is not None else (lambda v: v)
 
     if isinstance(b, CsVec):
@@ -91,13 +76,21 @@ def gmres(
         x = jnp.asarray(x0)
 
     m = int(restart)
-    dtype = b.dtype
-    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+    # working dtype promoted across b, x0 AND the operator's output —
+    # a complex matrix with a real rhs must not silently cast the
+    # Krylov basis to real
+    dtype = jnp.result_type(b.dtype, x.dtype, a_op(x).dtype)
+    b = b.astype(dtype)
+    x = x.astype(dtype)
+    real = jnp.finfo(dtype).dtype
+    tiny = jnp.asarray(
+        1e-300 if real == jnp.float64 else 1e-30, real
+    )
     b_norm = jnp.linalg.norm(b)
     threshold = tol * jnp.maximum(b_norm, tiny)
 
     def cycle(state):
-        x, it, _ = state
+        x, it, _, _ = state
         r = b - a_op(x)
         beta = jnp.linalg.norm(r)
         v0 = r / jnp.maximum(beta, tiny)
@@ -125,20 +118,21 @@ def gmres(
         y = jnp.linalg.lstsq(H, rhs)[0]
         x_new = x + m_op(V[:, :m] @ y)
         res = jnp.linalg.norm(b - a_op(x_new))
-        # a cycle that did not improve keeps the old iterate (breakdown
-        # or stagnation safety)
-        better = res <= jnp.linalg.norm(r)
+        # a cycle that did not improve keeps the old iterate AND stops
+        # the loop: GMRES(m) restarted from the same x is
+        # deterministic, so further cycles would be byte-identical
+        better = res < jnp.linalg.norm(r)
         x_new = jnp.where(better, x_new, x)
         res = jnp.where(better, res, jnp.linalg.norm(r))
-        return x_new, it + m, res
+        return x_new, it + m, res, ~better
 
     def cond(state):
-        _, it, res = state
-        return (res > threshold) & (it < max_iter)
+        _, it, res, stalled = state
+        return (res > threshold) & (it < max_iter) & (~stalled)
 
     r0 = jnp.linalg.norm(b - a_op(x))
-    state = (x, jnp.zeros((), jnp.int32), r0)
-    x, it, res = jax.lax.while_loop(cond, cycle, state)
+    state = (x, jnp.zeros((), jnp.int32), r0, jnp.asarray(False))
+    x, it, res, _ = jax.lax.while_loop(cond, cycle, state)
 
     from ..formats.util import is_concrete
 

@@ -47,24 +47,9 @@ def lobpcg(
 ) -> LobpcgResult:
     """Smallest ``m`` eigenpairs of symmetric A; ``x0`` is the (n, m)
     starting block (its column count sets m)."""
-    if isinstance(mat, CsMat):
-        if mat.shape[0] != mat.shape[1]:
-            raise NonSquareMatrixError(
-                f"lobpcg needs square, got {mat.shape}"
-            )
-        from ..formats.util import is_concrete
+    from ._dispatch import as_matvec
 
-        if is_concrete(mat.indptr, mat.indices):
-            from ..ops.prod import prepare_spmm
-
-            fn, prepared = prepare_spmm(mat)
-            a_op = lambda v: fn(prepared, v)  # noqa: E731
-        else:
-            from ..ops.prod import spmm
-
-            a_op = lambda v: spmm(mat, v)  # noqa: E731
-    else:
-        a_op = mat
+    a_op, _ = as_matvec(mat, multi_rhs=True)
     m_op = precond if precond is not None else (lambda v: v)
 
     x = jnp.asarray(x0)
@@ -139,12 +124,12 @@ def lobpcg(
             eigenvectors=x,
             iterations=int(out["it"]),
             residual_norms=res,
-            converged=bool(jnp.max(res) <= tol * 10),
+            converged=bool(jnp.max(res) <= tol),
         )
     return LobpcgResult(
         eigenvalues=lam,
         eigenvectors=x,
         iterations=out["it"],
         residual_norms=res,
-        converged=jnp.max(res) <= tol * 10,
+        converged=jnp.max(res) <= tol,
     )

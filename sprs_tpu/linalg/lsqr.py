@@ -39,20 +39,10 @@ def lsqr(
     """min ‖A x − b‖.  ``mat`` is a CsMat, or a pair of callables
     ``(matvec, rmatvec)`` applying A and Aᵀ."""
     if isinstance(mat, CsMat):
-        from ..formats.util import is_concrete
+        from ._dispatch import as_matvec
 
-        if is_concrete(mat.indptr, mat.indices):
-            from ..ops.prod import prepare_spmv
-
-            f_fn, f_prep = prepare_spmv(mat)
-            r_fn, r_prep = prepare_spmv(mat.T.to_csr())
-            a_op = lambda v: f_fn(f_prep, v)  # noqa: E731
-            at_op = lambda u: r_fn(r_prep, u)  # noqa: E731
-        else:
-            from ..ops.prod import spmv
-
-            a_op = lambda v: spmv(mat, v)  # noqa: E731
-            at_op = lambda u: spmv(mat.T, u)  # noqa: E731
+        a_op, _ = as_matvec(mat, square=False)
+        at_op, _ = as_matvec(mat.T.to_csr(), square=False)
         rows, cols = mat.shape
     else:
         a_op, at_op = mat
@@ -143,7 +133,7 @@ def lsqr(
             residual_norm=float(resid),
             atr_norm=float(atr),
             converged=bool(
-                (resid <= threshold * 10) | (atr <= atr_threshold * 10)
+                (resid <= threshold) | (atr <= atr_threshold)
             ),
         )
     return LsqrResult(
@@ -151,5 +141,5 @@ def lsqr(
         iterations=out["it"],
         residual_norm=resid,
         atr_norm=atr,
-        converged=(resid <= threshold * 10) | (atr <= atr_threshold * 10),
+        converged=(resid <= threshold) | (atr <= atr_threshold),
     )

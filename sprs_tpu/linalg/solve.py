@@ -79,6 +79,9 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
             tol = factor_kw.pop("tol", 1e-10)
             max_iter = factor_kw.pop("max_iter", 10000)
             precond = factor_kw.pop("precond", None)
+            it_kw = {}
+            if method == "gmres":
+                it_kw["restart"] = factor_kw.pop("restart", 30)
             if factor_kw:
                 raise TypeError(
                     f"unknown solve options {sorted(factor_kw)}"
@@ -86,17 +89,16 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
             # Bind matvecs NOW (host dispatch happens eagerly under
             # ensure_compile_time_eval); the solver callbacks run
             # inside the custom_linear_solve trace where host-side
-            # structure analysis would stage tracers and fail.
-            if concrete:
-                from ..ops.prod import prepare_spmv
+            # structure analysis would stage tracers and fail.  The
+            # transpose operator is only built for the nonsymmetric
+            # methods (cg's adjoint solve == solve).
+            from ._dispatch import as_matvec
 
-                f_fn, f_prep = prepare_spmv(mat)
-                a_op = lambda v: f_fn(f_prep, v)  # noqa: E731
-                t_fn, t_prep = prepare_spmv(mat.T.to_csr())
-                at_op = lambda v: t_fn(t_prep, v)  # noqa: E731
-            else:
-                a_op = lambda v: spmv(mat, v)  # noqa: E731
-                at_op = lambda v: spmv(mat.T, v)  # noqa: E731
+            a_op, _ = as_matvec(mat)
+            if method != "cg":
+                at_op, _ = as_matvec(
+                    mat.T.to_csr() if concrete else mat.T
+                )
             if method == "cg":
                 from .cg import cg as _it
 
@@ -120,10 +122,10 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
 
                 fwd = lambda rhs: _it(  # noqa: E731
                     a_op, rhs, tol=tol, max_iter=max_iter,
-                    precond=precond,
+                    precond=precond, **it_kw,
                 ).x
                 tr = lambda rhs: _it(  # noqa: E731
-                    at_op, rhs, tol=tol, max_iter=max_iter
+                    at_op, rhs, tol=tol, max_iter=max_iter, **it_kw
                 ).x
         else:
             raise ValueError(f"unknown solve method {method!r}")

@@ -140,10 +140,13 @@ def prepare_spmm(mat: CsMat, *, use_pallas: Optional[bool] = None):
             from .pallas import dia_spmm_pallas
 
             def fn(m, x):
-                # lane padding makes the Pallas kernel waste X/Y
-                # traffic below 128 RHS columns (ops/pallas/dia_spmm.py
-                # measurements); the fused XLA twin wins there.  Shapes
-                # are static under jit, so this is a trace-time branch.
+                # Measured (ops/pallas/dia_spmm.py): XLA wins below 128
+                # RHS columns (lane padding wastes X/Y traffic), is
+                # still ~1.1-1.25x ahead at k=128, and reaches parity
+                # at k=256 — route >= 256 to the Pallas lagflat kernel
+                # (fusion/wide-RHS upside, one session measured it
+                # 1.75x ahead).  Shapes are static under jit, so this
+                # is a trace-time branch.
                 if x.shape[1] >= 256:
                     return dia_spmm_pallas(
                         m,

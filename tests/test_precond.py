@@ -450,3 +450,44 @@ class TestComplexKrylov:
         np.testing.assert_allclose(
             np.asarray(res.x), np.linalg.solve(g, b), rtol=1e-7
         )
+
+
+class TestReviewRegressions:
+    def test_gmres_complex_matrix_real_rhs(self):
+        # regression: working dtype must promote across b, x0 AND the
+        # operator output — b.dtype alone silently cast the Krylov
+        # basis to real and produced a wrong answer
+        from sprs_tpu.linalg import gmres
+
+        rng = np.random.default_rng(40)
+        d = rng.standard_normal((12, 12)) + 1j * rng.standard_normal(
+            (12, 12)
+        )
+        d[np.arange(12), np.arange(12)] = np.abs(d).sum(1) + 2.0
+        b = rng.standard_normal(12)  # REAL rhs
+        res = gmres(st.from_dense(d), b, tol=1e-10, restart=12)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(d, b), rtol=1e-6
+        )
+
+    def test_solve_gmres_restart_passthrough(self):
+        from sprs_tpu.linalg import solve
+
+        lap = dirichlet_laplacian((6, 6), dtype=np.float64)
+        b = np.ones(36)
+        x = solve(lap, b, method="gmres", tol=1e-11, restart=36)
+        np.testing.assert_allclose(
+            np.asarray(x),
+            np.linalg.solve(np.asarray(lap.to_dense()), b),
+            rtol=1e-7,
+        )
+
+    def test_lsqr_unconverged_reports_false(self):
+        from sprs_tpu.linalg import lsqr
+
+        rng = np.random.default_rng(41)
+        d = rng.standard_normal((40, 30))
+        b = rng.standard_normal(40)
+        res = lsqr(st.from_dense(d), b, tol=1e-14, max_iter=2)
+        assert not res.converged
