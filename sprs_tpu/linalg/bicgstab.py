@@ -26,10 +26,9 @@ from typing import Callable, Union
 import jax
 import jax.numpy as jnp
 
-from ..errors import NonSquareMatrixError, ShapeError
+from ..errors import ShapeError
 from ..formats.csmat import CsMat
 from ..formats.csvec import CsVec
-from ..ops.prod import spmv
 
 
 @dataclasses.dataclass

@@ -29,10 +29,9 @@ from typing import Callable, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from ..errors import NonSquareMatrixError, ShapeError
+from ..errors import ShapeError
 from ..formats.csmat import CsMat
 from ..formats.csvec import CsVec
-from ..ops.prod import spmv
 
 
 @dataclasses.dataclass

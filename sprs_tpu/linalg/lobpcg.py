@@ -19,7 +19,6 @@ from typing import Callable, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from ..errors import NonSquareMatrixError
 from ..formats.csmat import CsMat
 
 
