@@ -491,3 +491,41 @@ class TestReviewRegressions:
         b = rng.standard_normal(40)
         res = lsqr(st.from_dense(d), b, tol=1e-14, max_iter=2)
         assert not res.converged
+
+    def test_nonsymmetric_gradients_match_lu(self):
+        import jax
+
+        from sprs_tpu.linalg import solve
+
+        rng = np.random.default_rng(42)
+        d = rng.standard_normal((20, 20))
+        d[rng.random((20, 20)) > 0.4] = 0.0
+        d[np.arange(20), np.arange(20)] = np.abs(d).sum(1) + 1.0
+        m = st.from_dense(d)
+        b = rng.standard_normal(20)
+
+        def loss(data, rhs, method):
+            mm = type(m)(m.indptr, m.indices, data, m.shape, m.storage)
+            return (
+                solve(mm, rhs, method=method, tol=1e-13) ** 2
+            ).sum()
+
+        # analytic adjoint oracle: x = A^-1 b, L = sum(x^2);
+        # dL/db = A^-T (2x), dL/dA = -lambda x^T at the pattern
+        x_ref = np.linalg.solve(d, b)
+        lam = np.linalg.solve(d.T, 2 * x_ref)
+        gb_ref = lam
+        rows = np.repeat(np.arange(20), np.diff(np.asarray(m.indptr)))
+        cols = np.asarray(m.indices)[: int(m.nnz)]
+        gd_ref = -lam[rows] * x_ref[cols]
+        for meth in ("bicgstab", "gmres"):
+            gd, gb = jax.grad(
+                lambda d_, r_: loss(d_, r_, meth), argnums=(0, 1)
+            )(m.data, b)
+            np.testing.assert_allclose(
+                np.asarray(gb), gb_ref, rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(gd)[: int(m.nnz)], gd_ref, rtol=1e-4,
+                atol=1e-8,
+            )
