@@ -253,6 +253,31 @@ class CsMat:
         counts = jnp.zeros((self.outer_dims,), dtype=INDEX_DTYPE)
         return counts.at[outer].add(off_diag.astype(INDEX_DTYPE), mode="drop")
 
+    def sum(self, axis: Optional[int] = None) -> jax.Array:
+        """Sum of stored values: total (axis=None), per row (axis=1)
+        or per column (axis=0).  Padding contributes zero (data==0
+        discipline); jittable."""
+        if axis is None:
+            return jnp.sum(self.data)
+        if axis not in (0, 1):
+            raise ValueError(f"sum axis must be None, 0 or 1; got {axis}")
+        # axis=1: reduce over columns -> group by ROW ids; axis=0: by col
+        rows_like = self.outer_ids() if self.is_csr else self.indices
+        cols_like = self.indices if self.is_csr else self.outer_ids()
+        ids = rows_like if axis == 1 else cols_like
+        n = self.rows if axis == 1 else self.cols
+        out = jnp.zeros((n,), dtype=self.data.dtype)
+        return out.at[ids].add(self.data, mode="drop")
+
+    def mean(self, axis: Optional[int] = None) -> jax.Array:
+        """Arithmetic mean over the FULL dense extent (scipy semantics:
+        zeros count), per axis or total."""
+        total = self.sum(axis)
+        if axis is None:
+            return total / (self.rows * self.cols)
+        denom = self.cols if axis == 1 else self.rows
+        return total / denom
+
     def outer_nnz(self) -> jax.Array:
         return self.indptr[1:] - self.indptr[:-1]
 

@@ -378,3 +378,23 @@ class TestPackedKeyCompress:
         indptr = np.asarray(c.indptr)
         assert indptr[1] - indptr[0] == 1 and ind[0] == 5 and dat[0] == 40.0
         assert indptr[3] - indptr[2] == 1 and ind[1] == 123 and dat[1] == 45.0
+
+
+class TestSumMean:
+    def test_sum_axes(self):
+        d = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 6]])
+        for storage in ("csr", "csc"):
+            m = st.from_dense(d, storage=storage)
+            np.testing.assert_allclose(float(m.sum()), d.sum())
+            np.testing.assert_allclose(np.asarray(m.sum(axis=1)), d.sum(1))
+            np.testing.assert_allclose(np.asarray(m.sum(axis=0)), d.sum(0))
+            np.testing.assert_allclose(np.asarray(m.mean(axis=1)), d.mean(1))
+            np.testing.assert_allclose(float(m.mean()), d.mean())
+
+    def test_sum_jit_and_padding(self):
+        import jax
+
+        d = np.array([[1.0, 2.0], [0.0, 3.0]])
+        m = st.from_dense(d).with_cap(16)  # extra padding
+        y = jax.jit(lambda mm: mm.sum(axis=1))(m)
+        np.testing.assert_allclose(np.asarray(y), d.sum(1))
