@@ -197,7 +197,9 @@ def compress_coo(
     # Group id of each sorted entry; padding inherits the last group but
     # contributes zero (values were zeroed pre-sort).
     gid = jnp.cumsum(unique.astype(INDEX_DTYPE)) - 1
-    required = jnp.sum(unique.astype(INDEX_DTYPE))
+    # the unique count falls out of the cumsum's last element — no
+    # second reduction pass over the array
+    required = gid[-1] + 1
 
     # Every LIVE entry writes its column at its group slot: duplicates
     # of a group share the same column value, so repeated writes are

@@ -284,3 +284,26 @@ class TestCheckpoint:
         save_checkpoint(str(tmp_path / "ck2"), {"mat": bad})
         with pytest.raises(StructureError):
             load_checkpoint(str(tmp_path / "ck2"))
+
+    def test_roundtrip_mixed_format_tree(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from sprs_tpu.io import load_checkpoint, save_checkpoint
+
+        d = np.zeros((12, 12))
+        for off in (-1, 0, 1):
+            np.fill_diagonal(d[max(0, -off):, max(0, off):], 2.0 + off)
+        m = st.from_dense(d)
+        tree = {
+            "dia": m.to_dia(),
+            "ell": m.to_ell(),
+            "bsr": m.to_bsr(4),
+            "vec": st.csvec_from_dense(np.array([0.0, 1.0, 0.0, 2.0])),
+        }
+        save_checkpoint(str(tmp_path / "ck3"), tree)
+        back = load_checkpoint(str(tmp_path / "ck3"))
+        np.testing.assert_allclose(np.asarray(back["dia"].to_dense()), d)
+        np.testing.assert_allclose(np.asarray(back["ell"].to_dense()), d)
+        np.testing.assert_allclose(np.asarray(back["bsr"].to_dense()), d)
+        np.testing.assert_allclose(
+            np.asarray(back["vec"].to_dense()), [0.0, 1.0, 0.0, 2.0]
+        )
