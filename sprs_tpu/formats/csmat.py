@@ -572,6 +572,25 @@ class CsMat:
 
         return ops.elementwise_mul(self, other)
 
+    def multiply(self, other) -> "CsMat":
+        """Elementwise (Hadamard) product — the scipy.sparse name for
+        what ``*`` already does here."""
+        from .. import ops
+
+        return ops.elementwise_mul(self, other)
+
+    def maximum(self, other: "CsMat") -> "CsMat":
+        """Elementwise maximum (scipy.sparse parity)."""
+        from .. import ops
+
+        return ops.maximum(self, other)
+
+    def minimum(self, other: "CsMat") -> "CsMat":
+        """Elementwise minimum (scipy.sparse parity)."""
+        from .. import ops
+
+        return ops.minimum(self, other)
+
     def __truediv__(self, other):
         if isinstance(other, CsMat):
             raise TypeError("sparse / sparse is not defined (densifies)")

@@ -398,3 +398,19 @@ class TestSumMean:
         m = st.from_dense(d).with_cap(16)  # extra padding
         y = jax.jit(lambda mm: mm.sum(axis=1))(m)
         np.testing.assert_allclose(np.asarray(y), d.sum(1))
+
+
+class TestScipyNameParity:
+    def test_multiply_maximum_minimum_methods(self):
+        d1 = np.array([[1.0, 0, -2], [0, 3, 0]])
+        d2 = np.array([[2.0, 1, 4], [0, -1, 0]])
+        a, b = st.from_dense(d1), st.from_dense(d2)
+        np.testing.assert_allclose(
+            np.asarray(a.multiply(b).to_dense()), d1 * d2
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.maximum(b).to_dense()), np.maximum(d1, d2)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.minimum(b).to_dense()), np.minimum(d1, d2)
+        )
