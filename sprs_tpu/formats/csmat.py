@@ -613,6 +613,25 @@ class CsMat:
             )
         )
 
+    def row(self, i: int) -> "CsVec":
+        """Row ``i`` as a sparse vector (scipy ``getrow`` parity;
+        host-only, converts storage if needed)."""
+        from .csvec import CsVec
+
+        m = self.to_csr()
+        if not (0 <= i < m.rows):
+            raise ShapeError(f"row {i} out of range for {m.shape}")
+        indptr = np.asarray(m.indptr)
+        lo, hi = int(indptr[i]), int(indptr[i + 1])
+        n = hi - lo
+        idx = m.indices[lo:hi] if n else jnp.zeros((1,), INDEX_DTYPE)
+        dat = m.data[lo:hi] if n else jnp.zeros((1,), m.data.dtype)
+        return CsVec(idx, dat, jnp.asarray(n, INDEX_DTYPE), m.cols)
+
+    def col(self, j: int) -> "CsVec":
+        """Column ``j`` as a sparse vector (scipy ``getcol`` parity)."""
+        return self.T.row(j)
+
     def outer_vectors(self):
         """Iterate (outer_index, CsVec) over outer dimensions — the
         reference's outer_iterator (csmat.rs:1150-1163).  Host-only

@@ -414,3 +414,19 @@ class TestScipyNameParity:
         np.testing.assert_allclose(
             np.asarray(a.minimum(b).to_dense()), np.minimum(d1, d2)
         )
+
+    def test_row_col_accessors(self):
+        d = np.array([[1.0, 0, 2], [0, 0, 0], [3, 4, 0]])
+        for storage in ("csr", "csc"):
+            m = st.from_dense(d, storage=storage)
+            np.testing.assert_allclose(
+                np.asarray(m.row(0).to_dense()), d[0]
+            )
+            np.testing.assert_allclose(
+                np.asarray(m.row(1).to_dense()), d[1]  # empty row
+            )
+            np.testing.assert_allclose(
+                np.asarray(m.col(1).to_dense()), d[:, 1]
+            )
+        with pytest.raises(st.ShapeError):
+            st.from_dense(d).row(5)
