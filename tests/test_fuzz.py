@@ -124,3 +124,51 @@ def test_permutations(seed):
     )
     perm_rows = np.asarray(st.permute_rows(m, p).to_dense())
     np.testing.assert_allclose(perm_rows, d[np.asarray(p.perm)], rtol=1e-10)
+
+
+@pytest.mark.parametrize("seed", CASES[:8])
+def test_reductions_and_elementwise_methods(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    np.testing.assert_allclose(float(m.sum()), d.sum(), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(m.sum(axis=1)), d.sum(1), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.sum(axis=0)), d.sum(0), rtol=1e-10, atol=1e-12
+    )
+    d2 = rng.standard_normal(d.shape) * (rng.random(d.shape) < 0.4)
+    b = st.from_dense(d2, storage=storage)
+    np.testing.assert_allclose(
+        np.asarray(m.multiply(b).to_dense()), d * d2, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.maximum(b).to_dense()),
+        np.maximum(d, d2),
+        rtol=1e-10,
+    )
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_row_col_vs_dense(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    i = int(rng.integers(0, d.shape[0]))
+    j = int(rng.integers(0, d.shape[1]))
+    np.testing.assert_allclose(
+        np.asarray(m.row(i).to_dense()), d[i], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.col(j).to_dense()), d[:, j], rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("seed", CASES[:6])
+def test_bsr_conversion_vs_dense(seed):
+    rng, d, storage = rand_case(seed)
+    m = st.from_dense(d, storage=storage)
+    for bs in (4, 8):
+        b = m.to_bsr(bs)
+        np.testing.assert_allclose(
+            np.asarray(b.to_dense()), d, rtol=1e-10
+        )
