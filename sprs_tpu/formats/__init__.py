@@ -22,7 +22,7 @@ from .csvec import (
     empty_csvec,
 )
 from .bsr import BsrMat, bsr_from_csmat, bsr_from_dense, bsr_random, bsr_spmm_xla
-from .dia import DiaMat, dia_from_csmat, dia_spmm, dia_spmv, n_diags_of
+from .dia import DiaMat, dia_from_csmat, dia_spmm, dia_spmv, dia_to_csmat, n_diags_of
 from .ell import (
     EllMat,
     ell_from_csmat,
@@ -40,6 +40,7 @@ __all__ = [
     "EllMat",
     "dia_from_csmat",
     "dia_spmm",
+    "dia_to_csmat",
     "dia_spmv",
     "n_diags_of",
     "bsr_from_csmat",

@@ -138,6 +138,14 @@ class CsVec:
     def l2_norm(self):
         return jnp.sqrt(self.squared_l2_norm())
 
+    def sum(self):
+        """Sum of stored values (padding is zero)."""
+        return jnp.sum(self.data)
+
+    def mean(self):
+        """Mean over the FULL dense extent (zeros count)."""
+        return self.sum() / self.dim
+
     def l1_norm(self):
         return jnp.sum(jnp.abs(self.data))
 

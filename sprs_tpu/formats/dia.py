@@ -137,6 +137,47 @@ def dia_from_csmat(
     )
 
 
+def dia_to_csmat(dia: DiaMat) -> CsMat:
+    """Host-side DIA → CSR conversion (structural entries = every
+    in-bounds diagonal slot, matching ``dia_from_csmat``'s layout)."""
+    import numpy as np
+
+    from .csmat import csmat
+
+    rows, cols = dia.shape
+    data = np.asarray(dia.data)
+    rs, cs, vs = [], [], []
+    for d, off in enumerate(dia.offsets):
+        r0 = max(0, -off)
+        r1 = min(rows, cols - off)
+        if r1 <= r0:
+            continue
+        rr = np.arange(r0, r1)
+        rs.append(rr)
+        cs.append(rr + off)
+        vs.append(data[d, r0:r1])
+    if rs:
+        rr = np.concatenate(rs)
+        cc = np.concatenate(cs)
+        vv = np.concatenate(vs)
+    else:
+        rr = np.zeros(0, np.int64)
+        cc = np.zeros(0, np.int64)
+        vv = np.zeros(0, data.dtype)
+    order = np.lexsort((cc, rr))
+    rr, cc, vv = rr[order], cc[order], vv[order]
+    indptr = np.zeros(rows + 1, np.int64)
+    np.add.at(indptr, rr + 1, 1)
+    indptr = np.cumsum(indptr)
+    return csmat(
+        (rows, cols),
+        indptr.astype(np.int32),
+        cc.astype(np.int32),
+        vv,
+        validate=False,
+    )
+
+
 def n_diags_of(mat: CsMat) -> int:
     """Number of populated diagonals (host-side dispatch heuristic)."""
     m = mat.to_csr()

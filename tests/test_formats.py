@@ -430,3 +430,20 @@ class TestScipyNameParity:
             )
         with pytest.raises(st.ShapeError):
             st.from_dense(d).row(5)
+
+    def test_dia_roundtrip_csmat(self):
+        from sprs_tpu.formats.dia import dia_to_csmat
+
+        d = np.zeros((9, 11))
+        for off in (-2, 0, 3):
+            i = np.arange(max(0, -off), min(9, 11 - off))
+            d[i, i + off] = off + 5.0
+        m = st.from_dense(d)
+        back = dia_to_csmat(m.to_dia())
+        np.testing.assert_allclose(np.asarray(back.to_dense()), d)
+        back.check_structure()
+
+    def test_csvec_sum_mean(self):
+        v = st.csvec(6, [1, 4], [2.0, -0.5])
+        np.testing.assert_allclose(float(v.sum()), 1.5)
+        np.testing.assert_allclose(float(v.mean()), 0.25)
