@@ -11,6 +11,7 @@ from .iterative import IterativeResult, gauss_seidel, jacobi
 from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
 from .lu import SpLu, splu
 from .solve import solve
+from .supernodes import Supernodes, amalgamate, fundamental_supernodes
 from .ordering import (
     OrderingResult,
     bandwidth,
@@ -57,6 +58,9 @@ __all__ = [
     "SpLu",
     "splu",
     "solve",
+    "Supernodes",
+    "amalgamate",
+    "fundamental_supernodes",
     "OrderingResult",
     "bandwidth",
     "cuthill_mckee",

@@ -1,0 +1,121 @@
+"""Supernode detection for the (round-2) supernodal LDLᵀ numeric.
+
+Step 1 of docs/SUPERNODAL_PLAN.md: partition the columns of L into
+fundamental supernodes (Liu's criterion: column j joins column j-1's
+supernode iff ``parent[j-1] == j`` and
+``colcount[j] == colcount[j-1] - 1``, i.e. identical row structure
+below the diagonal) with optional relaxed amalgamation (merge a child
+supernode into its parent when the introduced explicit zeros stay
+under a budget — fewer, fatter supernodes mean bigger MXU panels).
+
+Host-side numpy (the symbolic layer's home); the eventual C++ fast
+path mirrors this exactly, like every other `native/` entry point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Supernodes:
+    """Column partition of L: supernode s spans columns
+    ``ptr[s]:ptr[s+1]``; ``of[j]`` is the supernode of column j."""
+
+    ptr: np.ndarray  # (n_snodes + 1,)
+    of: np.ndarray  # (n,)
+
+    @property
+    def n_snodes(self) -> int:
+        return self.ptr.shape[0] - 1
+
+    def widths(self) -> np.ndarray:
+        return np.diff(self.ptr)
+
+
+def fundamental_supernodes(
+    parent: np.ndarray, colcount: np.ndarray
+) -> Supernodes:
+    """Liu's fundamental supernodes from the etree and L column counts.
+
+    ``parent`` is the elimination tree (−1 for roots); ``colcount[j]``
+    counts L's column j INCLUDING the diagonal.  Assumes columns are in
+    a topological (e.g. natural post-RCM) order with parent[j] > j.
+    """
+    n = parent.shape[0]
+    starts = [0] if n else []
+    # a column also starts a supernode when it has more than one etree
+    # child (its structure cannot equal a single child's minus one)
+    n_children = np.zeros(n, dtype=np.int64)
+    for j in range(n):
+        p = parent[j]
+        if p >= 0:
+            n_children[p] += 1
+    for j in range(1, n):
+        chain = parent[j - 1] == j and colcount[j] == colcount[j - 1] - 1
+        if not (chain and n_children[j] == 1):
+            starts.append(j)
+    ptr = np.asarray(starts + [n], dtype=np.int64)
+    of = np.zeros(n, dtype=np.int64)
+    of[ptr[1:-1]] = 1
+    of = np.cumsum(of)
+    return Supernodes(ptr=ptr, of=of)
+
+
+def amalgamate(
+    sn: Supernodes,
+    parent: np.ndarray,
+    colcount: np.ndarray,
+    *,
+    max_zeros: int = 32,
+    max_width: int = 128,
+) -> Supernodes:
+    """Relaxed amalgamation: greedily merge a supernode into its etree
+    parent supernode when (a) its last column's parent is the parent
+    supernode's first column, (b) the merged width stays ≤
+    ``max_width`` (one MXU tile), and (c) the explicit zeros introduced
+    (children columns padded to the parent's row structure) stay ≤
+    ``max_zeros``.
+
+    Zeros introduced when merging child block [c0,c1) into parent block
+    starting at p0: each child column j gains
+    ``(colcount[p0] + (p0 - j)) - colcount[j]`` explicit entries (its
+    structure becomes the parent's plus the chain down to j).
+    """
+    n = parent.shape[0]
+    ptr = list(sn.ptr)
+    merged = True
+    while merged:
+        merged = False
+        s = len(ptr) - 2
+        while s >= 0:
+            c0, c1 = ptr[s], ptr[s + 1]
+            if c1 >= n:
+                s -= 1
+                continue
+            p_first = ptr[s + 1]
+            if parent[c1 - 1] != p_first:
+                s -= 1
+                continue
+            p_end = ptr[s + 2] if s + 2 < len(ptr) else n
+            width = p_end - c0
+            if width > max_width:
+                s -= 1
+                continue
+            zeros = 0
+            target = colcount[p_first]
+            for j in range(c0, c1):
+                zeros += (target + (p_first - j)) - colcount[j]
+            if zeros < 0 or zeros > max_zeros:
+                s -= 1
+                continue
+            del ptr[s + 1]
+            merged = True
+            s -= 1
+    ptr_arr = np.asarray(ptr, dtype=np.int64)
+    of = np.zeros(n, dtype=np.int64)
+    of[ptr_arr[1:-1]] = 1
+    of = np.cumsum(of)
+    return Supernodes(ptr=ptr_arr, of=of)

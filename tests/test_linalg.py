@@ -355,3 +355,91 @@ class TestMeshLaplacian:
         )
         np.testing.assert_allclose(d, expect)
         assert st.is_symmetric(lap)
+
+
+class TestSupernodes:
+    """Fundamental supernode detection (docs/SUPERNODAL_PLAN.md step 1)."""
+
+    def _tridiag_symbolic(self, n):
+        # tridiagonal: etree is a path, colcount = 2 except last col
+        parent = np.array(
+            [j + 1 for j in range(n - 1)] + [-1], dtype=np.int64
+        )
+        colcount = np.array(
+            [2] * (n - 1) + [1], dtype=np.int64
+        )
+        return parent, colcount
+
+    def test_tridiagonal_path_is_column_pairs(self):
+        from sprs_tpu.linalg import fundamental_supernodes
+
+        parent, colcount = self._tridiag_symbolic(6)
+        sn = fundamental_supernodes(parent, colcount)
+        # chain criterion: colcount drops by 1 only at the last column,
+        # so supernodes are singletons except the final pair
+        assert sn.ptr[-1] == 6
+        assert np.all(np.diff(sn.ptr) >= 1)
+        # of[] is consistent with ptr
+        for s in range(sn.n_snodes):
+            assert np.all(
+                sn.of[sn.ptr[s] : sn.ptr[s + 1]] == s
+            )
+
+    def test_dense_lower_is_one_supernode(self):
+        from sprs_tpu.linalg import fundamental_supernodes
+
+        # fully dense L: parent path, colcount n-j
+        n = 5
+        parent = np.array([1, 2, 3, 4, -1], dtype=np.int64)
+        colcount = np.array([5, 4, 3, 2, 1], dtype=np.int64)
+        sn = fundamental_supernodes(parent, colcount)
+        assert sn.n_snodes == 1
+        assert list(sn.ptr) == [0, 5]
+
+    def test_branching_breaks_supernodes(self):
+        from sprs_tpu.linalg import fundamental_supernodes
+
+        # two children (0, 1) of column 2: 2 must start a supernode
+        parent = np.array([2, 2, 3, -1], dtype=np.int64)
+        colcount = np.array([2, 2, 2, 1], dtype=np.int64)
+        sn = fundamental_supernodes(parent, colcount)
+        assert 2 in list(sn.ptr)
+
+    def test_amalgamation_merges_within_budget(self):
+        from sprs_tpu.linalg import (
+            amalgamate,
+            fundamental_supernodes,
+        )
+
+        parent, colcount = self._tridiag_symbolic(8)
+        sn = fundamental_supernodes(parent, colcount)
+        merged = amalgamate(
+            sn, parent, colcount, max_zeros=100, max_width=8
+        )
+        assert merged.n_snodes < sn.n_snodes
+        assert merged.ptr[-1] == 8
+        # zero budget forbids any merge that introduces fill
+        frozen = amalgamate(
+            sn, parent, colcount, max_zeros=0, max_width=8
+        )
+        assert frozen.n_snodes >= merged.n_snodes
+
+    def test_real_matrix_via_ldl_symbolic(self):
+        from sprs_tpu.linalg import (
+            LdlSymbolic,
+            fundamental_supernodes,
+        )
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        lap = dirichlet_laplacian((6, 6), dtype=np.float64)
+        sym = LdlSymbolic.from_matrix(lap, check_symmetry=False)
+        colcount = np.diff(np.asarray(sym.l_indptr)).astype(np.int64)
+        sn = fundamental_supernodes(
+            np.asarray(sym.parent, dtype=np.int64), colcount
+        )
+        n = lap.shape[0]
+        assert sn.ptr[0] == 0 and sn.ptr[-1] == n
+        assert np.all(np.diff(sn.ptr) >= 1)
+        # partition property: every column in exactly one supernode
+        assert sn.of.shape == (n,)
+        assert sn.of[-1] == sn.n_snodes - 1
