@@ -119,3 +119,40 @@ def amalgamate(
     of[ptr_arr[1:-1]] = 1
     of = np.cumsum(of)
     return Supernodes(ptr=ptr_arr, of=of)
+
+
+def supernode_structure(l_indptr, l_indices, sn: Supernodes):
+    """Padded per-supernode row structure from L's (CSC) pattern.
+
+    For supernode s spanning columns [c0, c1), the rows below the
+    diagonal BLOCK (i.e. >= c1) are identical for every column in s —
+    that is the defining property the detection guarantees; this
+    function extracts them once per supernode (from the FIRST column)
+    and verifies the property for the remaining columns.
+
+    Returns ``(sn_rows (s, max_rows) padded with -1, sn_nrows (s,))``.
+    """
+    l_indptr = np.asarray(l_indptr)
+    l_indices = np.asarray(l_indices)
+    n_snodes = sn.n_snodes
+    rows_per = []
+    for s in range(n_snodes):
+        c0, c1 = int(sn.ptr[s]), int(sn.ptr[s + 1])
+        first = l_indices[l_indptr[c0] : l_indptr[c0 + 1]]
+        below = first[first >= c1]
+        for j in range(c0 + 1, c1):
+            col = l_indices[l_indptr[j] : l_indptr[j + 1]]
+            colb = col[col >= c1]
+            if not np.array_equal(np.sort(colb), np.sort(below)):
+                raise ValueError(
+                    f"column {j} breaks supernode {s}'s shared "
+                    "structure — detection inputs were inconsistent"
+                )
+        rows_per.append(np.sort(below))
+    max_rows = max((r.size for r in rows_per), default=0)
+    sn_rows = np.full((n_snodes, max(max_rows, 1)), -1, dtype=np.int64)
+    sn_nrows = np.zeros(n_snodes, dtype=np.int64)
+    for s, r in enumerate(rows_per):
+        sn_rows[s, : r.size] = r
+        sn_nrows[s] = r.size
+    return sn_rows, sn_nrows

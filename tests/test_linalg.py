@@ -443,3 +443,28 @@ class TestSupernodes:
         # partition property: every column in exactly one supernode
         assert sn.of.shape == (n,)
         assert sn.of[-1] == sn.n_snodes - 1
+
+    def test_supernode_structure_shared_pattern(self):
+        from sprs_tpu.linalg import (
+            LdlSymbolic,
+            fundamental_supernodes,
+        )
+        from sprs_tpu.linalg.supernodes import supernode_structure
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        lap = dirichlet_laplacian((5, 5), dtype=np.float64)
+        sym = LdlSymbolic.from_matrix(lap, check_symmetry=False)
+        colcount = np.diff(np.asarray(sym.l_indptr)).astype(np.int64)
+        sn = fundamental_supernodes(
+            np.asarray(sym.parent, dtype=np.int64), colcount
+        )
+        rows, nrows = supernode_structure(
+            sym.l_indptr, sym.l_indices, sn
+        )
+        assert rows.shape[0] == sn.n_snodes
+        assert np.all(nrows >= 0)
+        # row ids are valid and below-block
+        for s in range(sn.n_snodes):
+            r = rows[s, : nrows[s]]
+            assert np.all(r >= sn.ptr[s + 1])
+            assert np.all(r < lap.shape[0])
