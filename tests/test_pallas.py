@@ -397,7 +397,9 @@ class TestDia:
         y = dia_spmv_pallas(
             dia, x, blk=1024, grp=4, variant="flatg", interpret=True
         )
-        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(y), d @ x, rtol=1e-4, atol=1e-4
+        )
 
         def loss(data, v):
             m = type(dia)(data, dia.offsets, dia.shape)
