@@ -572,6 +572,64 @@ class CsMat:
 
         return ops.elementwise_mul(self, other)
 
+    def norm(self, ord="fro"):
+        """Matrix norm over stored values (scipy.sparse.linalg.norm
+        parity): 'fro', 1 (max column abs-sum), inf (max row abs-sum),
+        or 'max' (largest |entry|).  Jittable; padding is zero."""
+        import numpy as _np
+
+        a = jnp.abs(self.data)
+        if ord == "fro":
+            return jnp.sqrt(jnp.sum(a * a))
+        if ord == "max":
+            return jnp.max(a)
+        if ord in (1, _np.inf, "inf"):
+            axis = 0 if ord == 1 else 1
+            rows_like = self.outer_ids() if self.is_csr else self.indices
+            cols_like = self.indices if self.is_csr else self.outer_ids()
+            ids = rows_like if axis == 1 else cols_like
+            n = self.rows if axis == 1 else self.cols
+            sums = jnp.zeros((n,), a.dtype).at[ids].add(a, mode="drop")
+            return jnp.max(sums)
+        raise ValueError(f"unsupported norm ord {ord!r}")
+
+    def tril(self, k: int = 0) -> "CsMat":
+        """Lower triangle at and below diagonal ``k``
+        (scipy.sparse.tril parity).  Jittable: entries above the
+        diagonal become padding via the data==0 discipline (cap
+        unchanged; live structure is re-counted on ``compact()``)."""
+        return self._tri_filter(lower=True, k=k)
+
+    def triu(self, k: int = 0) -> "CsMat":
+        """Upper triangle at and above diagonal ``k``."""
+        return self._tri_filter(lower=False, k=k)
+
+    def _tri_filter(self, *, lower: bool, k: int) -> "CsMat":
+        rows_like = self.outer_ids() if self.is_csr else self.indices
+        cols_like = self.indices if self.is_csr else self.outer_ids()
+        diagk = cols_like - rows_like
+        keep = (diagk <= k) if lower else (diagk >= k)
+        keep = keep & self.live_mask()
+        from .util import compress_coo
+
+        res = compress_coo(
+            rows=jnp.where(keep, rows_like, self.rows),
+            cols=jnp.where(keep, cols_like, 0),
+            value_channels=(jnp.where(keep, self.data, 0),),
+            nvalid=self.cap,
+            n_outer=self.rows,
+            n_inner=self.cols,
+            out_cap=self.cap,
+        )
+        out = CsMat(
+            res.indptr,
+            res.indices,
+            res.values[0],
+            (self.rows, self.cols),
+            CSR,
+        )
+        return out if self.is_csr else out.to_csc()
+
     def multiply(self, other) -> "CsMat":
         """Elementwise (Hadamard) product — the scipy.sparse name for
         what ``*`` already does here."""

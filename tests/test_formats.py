@@ -447,3 +447,36 @@ class TestScipyNameParity:
         v = st.csvec(6, [1, 4], [2.0, -0.5])
         np.testing.assert_allclose(float(v.sum()), 1.5)
         np.testing.assert_allclose(float(v.mean()), 0.25)
+
+    def test_norm(self):
+        d = np.array([[1.0, -2, 0], [0, 3, -4]])
+        for storage in ("csr", "csc"):
+            m = st.from_dense(d, storage=storage)
+            np.testing.assert_allclose(
+                float(m.norm("fro")), np.linalg.norm(d)
+            )
+            np.testing.assert_allclose(
+                float(m.norm(1)), np.abs(d).sum(0).max()
+            )
+            np.testing.assert_allclose(
+                float(m.norm(np.inf)), np.abs(d).sum(1).max()
+            )
+            np.testing.assert_allclose(float(m.norm("max")), 4.0)
+
+    def test_tril_triu(self):
+        rng = np.random.default_rng(9)
+        d = rng.standard_normal((7, 9)) * (rng.random((7, 9)) < 0.5)
+        for storage in ("csr", "csc"):
+            m = st.from_dense(d, storage=storage)
+            for k in (-2, 0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(m.tril(k).to_dense()),
+                    np.tril(d, k),
+                    rtol=1e-12,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(m.triu(k).to_dense()),
+                    np.triu(d, k),
+                    rtol=1e-12,
+                )
+            assert m.tril().storage == m.storage
