@@ -36,6 +36,7 @@ from .formats import (
     csvec_from_dense,
     csvec_from_unsorted,
     diag_csmat,
+    diags,
     empty,
     empty_csvec,
     eye,

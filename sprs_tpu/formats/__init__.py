@@ -9,6 +9,7 @@ from .csmat import (
     csmat_from_unsorted,
     csr,
     diag_csmat,
+    diags,
     empty,
     eye,
     from_dense,
@@ -65,6 +66,7 @@ __all__ = [
     "csvec_from_dense",
     "csvec_from_unsorted",
     "diag_csmat",
+    "diags",
     "empty",
     "empty_csvec",
     "eye",

@@ -838,6 +838,67 @@ def diag_csmat(values, *, storage: str = CSR) -> CsMat:
     return m.with_data(values)
 
 
+def diags(diagonals, offsets, shape=None, *, storage: str = CSR) -> CsMat:
+    """Build a matrix from diagonals (scipy.sparse.diags parity).
+
+    ``diagonals[k]`` fills diagonal ``offsets[k]``; each may be a
+    scalar (broadcast along the whole diagonal) or a 1-D array exactly
+    as long as its diagonal.  ``shape`` defaults to the square size
+    implied by the longest main-ish diagonal.  Host-side construction.
+    """
+    import numpy as np
+
+    offsets = [int(o) for o in np.atleast_1d(offsets)]
+    diagonals = [np.atleast_1d(np.asarray(d)) for d in diagonals]
+    if len(diagonals) != len(offsets):
+        raise ShapeError(
+            f"diags: {len(diagonals)} diagonals vs {len(offsets)} offsets"
+        )
+    if shape is None:
+        n = max(
+            d.shape[0] + abs(o) if d.shape[0] > 1 else abs(o) + 1
+            for d, o in zip(diagonals, offsets)
+        )
+        shape = (n, n)
+    rows_n, cols_n = shape
+    rs, cs, vs = [], [], []
+    for d, o in zip(diagonals, offsets):
+        length = min(rows_n + min(o, 0), cols_n - max(o, 0))
+        if length <= 0:
+            raise ShapeError(
+                f"diags: offset {o} out of range for shape {shape}"
+            )
+        if d.shape[0] == 1:
+            vals = np.broadcast_to(d, (length,))
+        elif d.shape[0] == length:
+            vals = d
+        else:
+            raise ShapeError(
+                f"diags: diagonal at offset {o} has length {d.shape[0]},"
+                f" expected {length}"
+            )
+        r = np.arange(max(0, -o), max(0, -o) + length)
+        rs.append(r)
+        cs.append(r + o)
+        vs.append(vals)
+    rr = np.concatenate(rs)
+    cc = np.concatenate(cs)
+    vv = np.concatenate(vs)
+    order = np.lexsort((cc, rr))
+    rr, cc, vv = rr[order], cc[order], vv[order]
+    indptr = np.zeros(rows_n + 1, np.int64)
+    np.add.at(indptr, rr + 1, 1)
+    indptr = np.cumsum(indptr)
+    out = csmat(
+        (rows_n, cols_n),
+        indptr.astype(np.int32),
+        cc.astype(np.int32),
+        vv,
+        validate=False,
+    )
+    return out if storage == CSR else out.to_csc()
+
+
 def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
     """Densify threshold conversion (csr_from_dense, csmat.rs:502-549).
 

@@ -480,3 +480,26 @@ class TestScipyNameParity:
                     rtol=1e-12,
                 )
             assert m.tril().storage == m.storage
+
+    def test_diags_scipy_parity(self):
+        import scipy.sparse as sp
+
+        from sprs_tpu.formats import diags
+
+        cases = [
+            (([1.0, 2, 3], [9.0, 9]), (0, 1), None),
+            (([4.0], [-1.0, -2], [7.0, 8]), (0, -1, 1), (3, 3)),
+            (([2.0],), (1,), (3, 5)),
+        ]
+        for diagonals, offsets, shape in cases:
+            ref = sp.diags(
+                [np.atleast_1d(d) if len(np.atleast_1d(d)) > 1 else d[0]
+                 for d in diagonals],
+                offsets,
+                shape=shape,
+            ).toarray()
+            got = diags(diagonals, offsets, shape=shape)
+            got.check_structure()
+            np.testing.assert_allclose(
+                np.asarray(got.to_dense()), ref
+            )
