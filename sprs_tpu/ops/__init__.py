@@ -24,7 +24,7 @@ from .binop import (
 )
 from .binop import add as _add_sparse
 from .binop import sub as _sub_sparse
-from .construct import bmat, hstack, vstack
+from .construct import block_diag, bmat, hstack, vstack
 from .kron import kronecker_product
 from .permutation import (
     Permutation,
@@ -59,6 +59,7 @@ __all__ = [
     "kronecker_product",
     "vstack",
     "hstack",
+    "block_diag",
     "bmat",
     "Permutation",
     "permute_rows",

@@ -145,3 +145,17 @@ def bmat(grid: Sequence[Sequence[Optional[CsMat]]]) -> CsMat:
             ros.append(row_off[i])
             cos.append(col_off[j])
     return _stack_coo(blocks, ros, cos, shape, CSR)
+
+
+def block_diag(mats: Sequence[CsMat]) -> CsMat:
+    """Block-diagonal matrix from a sequence of blocks
+    (scipy.sparse.block_diag parity) — a diagonal :func:`bmat`."""
+    mats = list(mats)
+    n = len(mats)
+    if n == 0:
+        raise ShapeError("block_diag needs at least one block")
+    grid = [
+        [mats[i] if i == j else None for j in range(n)]
+        for i in range(n)
+    ]
+    return bmat(grid)

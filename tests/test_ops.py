@@ -440,3 +440,21 @@ class TestVmapSamePattern:
 
         gs = jax.vmap(jax.grad(loss))(batch)
         assert gs.shape == batch.shape
+
+
+class TestBlockDiag:
+    def test_matches_scipy(self):
+        import scipy.sparse as sp
+
+        from sprs_tpu.ops import block_diag
+
+        rng = np.random.default_rng(12)
+        blocks = [
+            rng.standard_normal((2, 3)) * (rng.random((2, 3)) < 0.6),
+            rng.standard_normal((4, 1)),
+            rng.standard_normal((1, 2)),
+        ]
+        got = block_diag([st.from_dense(b) for b in blocks])
+        ref = sp.block_diag([sp.csr_matrix(b) for b in blocks]).toarray()
+        np.testing.assert_allclose(np.asarray(got.to_dense()), ref)
+        got.check_structure()
