@@ -11,6 +11,7 @@ from .iterative import IterativeResult, gauss_seidel, jacobi
 from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
 from .lu import SpLu, splu
 from .solve import solve
+from .svds import SvdsResult, svds
 from .supernodes import Supernodes, amalgamate, fundamental_supernodes
 from .ordering import (
     OrderingResult,
@@ -61,6 +62,8 @@ __all__ = [
     "Supernodes",
     "amalgamate",
     "fundamental_supernodes",
+    "SvdsResult",
+    "svds",
     "OrderingResult",
     "bandwidth",
     "cuthill_mckee",

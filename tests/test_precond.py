@@ -529,3 +529,28 @@ class TestReviewRegressions:
                 np.asarray(gd)[: int(m.nnz)], gd_ref, rtol=1e-4,
                 atol=1e-8,
             )
+
+
+class TestSvds:
+    def test_largest_triplets_match_numpy(self):
+        from sprs_tpu.linalg import svds
+
+        rng = np.random.default_rng(50)
+        d = rng.standard_normal((30, 20)) * (rng.random((30, 20)) < 0.5)
+        res = svds(st.from_dense(d), k=3, tol=1e-10, max_iter=500)
+        s_ref = np.linalg.svd(d, compute_uv=False)[:3]
+        np.testing.assert_allclose(np.asarray(res.s), s_ref, rtol=1e-6)
+        # triplet property: A v = s u
+        for i in range(3):
+            av = d @ np.asarray(res.vt)[i]
+            su = float(res.s[i]) * np.asarray(res.u)[:, i]
+            np.testing.assert_allclose(av, su, rtol=1e-4, atol=1e-7)
+
+    def test_square_matrix(self):
+        from sprs_tpu.linalg import svds
+
+        rng = np.random.default_rng(51)
+        d = rng.standard_normal((25, 25)) * (rng.random((25, 25)) < 0.4)
+        res = svds(st.from_dense(d), k=2, tol=1e-10, max_iter=500)
+        s_ref = np.linalg.svd(d, compute_uv=False)[:2]
+        np.testing.assert_allclose(np.asarray(res.s), s_ref, rtol=1e-6)
