@@ -2,6 +2,7 @@
 
 from .bicgstab import BiCgStabResult, bicgstab
 from .cg import CgResult, cg
+from .expm import expm_multiply
 from .gmres import GmresResult, gmres
 from .lobpcg import LobpcgResult, lobpcg
 from .lsqr import LsqrResult, lsqr
@@ -38,6 +39,7 @@ __all__ = [
     "Ilu0",
     "ic0",
     "ilu0",
+    "expm_multiply",
     "GmresResult",
     "gmres",
     "LobpcgResult",

@@ -554,3 +554,38 @@ class TestSvds:
         res = svds(st.from_dense(d), k=2, tol=1e-10, max_iter=500)
         s_ref = np.linalg.svd(d, compute_uv=False)[:2]
         np.testing.assert_allclose(np.asarray(res.s), s_ref, rtol=1e-6)
+
+
+class TestExpmMultiply:
+    def test_matches_dense_expm(self):
+        import scipy.linalg as sla
+
+        from sprs_tpu.linalg import expm_multiply
+
+        rng = np.random.default_rng(60)
+        d = rng.standard_normal((20, 20)) * (rng.random((20, 20)) < 0.3)
+        b = rng.standard_normal(20)
+        for t in (0.5, 1.0, -2.0):
+            y = expm_multiply(st.from_dense(d), b, t=t, tol=1e-12)
+            ref = sla.expm(t * d) @ b
+            np.testing.assert_allclose(
+                np.asarray(y), ref, rtol=1e-8, atol=1e-10
+            )
+
+    def test_block_rhs_and_jit(self):
+        import jax
+        import scipy.linalg as sla
+
+        from sprs_tpu.linalg import expm_multiply
+
+        rng = np.random.default_rng(61)
+        d = rng.standard_normal((12, 12)) * (rng.random((12, 12)) < 0.4)
+        B = rng.standard_normal((12, 3))
+        m = st.from_dense(d)
+        y = jax.jit(
+            lambda bb: expm_multiply(m, bb, t=0.7, tol=1e-12)
+        )(B)
+        ref = sla.expm(0.7 * d) @ B
+        np.testing.assert_allclose(
+            np.asarray(y), ref, rtol=1e-8, atol=1e-10
+        )
