@@ -60,8 +60,10 @@ def expm_multiply(
             # traced matrix or raw callable: safe fixed substep budget
             anorm = 16.0 * abs(t)
     b = jnp.asarray(b)
+    import math
+
     theta = 3.0  # per-substep series budget: ~20 terms at tol 1e-10
-    s = max(1, int(jnp.ceil(anorm / theta)))
+    s = max(1, math.ceil(anorm / theta))  # host math: jnp would stage
     h = t / s
 
     def substep(_, y):
