@@ -38,6 +38,13 @@ class StructureError(SprsError):
     def out_of_range(cls, msg: str) -> "StructureError":
         return cls("out_of_range", msg)
 
+    @classmethod
+    def index_overflow(cls, msg: str) -> "StructureError":
+        """The i32 index type cannot address the requested dims/nnz —
+        the eager analog of the reference's "Index type is not large
+        enough" panic (sprs/tests/gh374.rs:10-33)."""
+        return cls("index_overflow", msg)
+
 
 class ShapeError(SprsError):
     """Operand shapes are incompatible for the requested operation."""

@@ -34,6 +34,7 @@ import numpy as np
 from ..errors import ShapeError, StructureError
 from .util import (
     INDEX_DTYPE,
+    check_index_capacity,
     compress_coo,
     is_concrete,
     row_ids_from_indptr,
@@ -414,9 +415,14 @@ class CsMat:
     def slice_outer(self, start: int, stop: int) -> "CsMat":
         """Static outer-dimension slice (slicing.rs:17-89).
 
-        Unlike the reference's zero-copy offset-indptr views, XLA needs
-        materialized arrays; we gather the slice into a fresh matrix with
-        capacity equal to the parent's (callers may repack tighter).
+        Unlike the reference's zero-copy offset-indptr views
+        (indptr.rs:206-219), XLA needs materialized arrays; we gather
+        the slice into a fresh matrix.  On concrete (host) inputs the
+        output capacity is tightened to the slice's own entry count
+        (``indptr[stop] - indptr[start]``), so iterating
+        ``outer_blocks`` over a large matrix does O(nnz) total work,
+        not O(blocks × parent_cap).  Traced inputs keep the parent
+        capacity (the only static bound available under jit).
         """
         if not (0 <= start <= stop <= self.outer_dims):
             raise ShapeError(
@@ -425,7 +431,11 @@ class CsMat:
         n_out = stop - start
         lo, hi = self.indptr[start], self.indptr[stop]
         new_nnz = hi - lo
-        pos = jnp.arange(self.cap, dtype=INDEX_DTYPE)
+        if is_concrete(self.indptr):
+            out_cap = max(int(new_nnz), 1)
+        else:
+            out_cap = self.cap
+        pos = jnp.arange(out_cap, dtype=INDEX_DTYPE)
         src = jnp.minimum(lo + pos, self.cap - 1)
         live = pos < new_nnz
         new_indices = jnp.where(live, self.indices[src], 0)
@@ -759,6 +769,7 @@ def csmat(
     ``validate=True`` (default, host-only) the structural invariants are
     checked eagerly like the reference's checked constructors.
     """
+    check_index_capacity(rows=shape[0], cols=shape[1], cap=cap)
     indices = jnp.asarray(indices, dtype=INDEX_DTYPE)
     data = jnp.asarray(data)
     if data.dtype == jnp.int64 or data.dtype == jnp.float64:
@@ -811,6 +822,7 @@ def csmat_from_unsorted(
 
 
 def eye(n: int, dtype=jnp.float32, *, storage: str = CSR, cap=None) -> CsMat:
+    check_index_capacity(n=n, cap=cap)
     cap = cap or max(n, 1)
     indptr = jnp.arange(n + 1, dtype=INDEX_DTYPE)
     idx = jnp.arange(cap, dtype=INDEX_DTYPE)
@@ -820,6 +832,7 @@ def eye(n: int, dtype=jnp.float32, *, storage: str = CSR, cap=None) -> CsMat:
 
 
 def empty(shape: Tuple[int, int], dtype=jnp.float32, *, storage: str = CSR, cap: int = 1) -> CsMat:
+    check_index_capacity(rows=shape[0], cols=shape[1], cap=cap)
     n_outer = shape[0] if storage == CSR else shape[1]
     return CsMat(
         jnp.zeros((n_outer + 1,), INDEX_DTYPE),

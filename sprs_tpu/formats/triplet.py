@@ -23,7 +23,7 @@ import numpy as np
 
 from ..errors import ShapeError, StructureError
 from .csmat import CSC, CSR, CsMat
-from .util import INDEX_DTYPE, compress_coo
+from .util import INDEX_DTYPE, check_index_capacity, compress_coo
 
 
 def coo_to_csmat(
@@ -41,6 +41,7 @@ def coo_to_csmat(
     ``rows``/``cols``/``data`` are capacity-padded device arrays; ``nnz``
     is the live count (defaults to the full length).  Fully jittable.
     """
+    check_index_capacity(rows=shape[0], cols=shape[1], cap=cap)
     rows = jnp.asarray(rows, dtype=INDEX_DTYPE)
     cols = jnp.asarray(cols, dtype=INDEX_DTYPE)
     data = jnp.asarray(data)
@@ -73,6 +74,7 @@ class TriMat:
     """
 
     def __init__(self, shape: Tuple[int, int], dtype=np.float64):
+        check_index_capacity(rows=shape[0], cols=shape[1])
         self.shape = tuple(shape)
         self._rows: list = []
         self._cols: list = []

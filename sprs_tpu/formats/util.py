@@ -25,6 +25,30 @@ import jax.numpy as jnp
 
 INDEX_DTYPE = jnp.int32
 
+# Largest value representable by the hardware-native i32 index type.
+# Dims and capacities must stay <= this; the packed-key sort inside
+# compress_coo additionally needs (n_outer+1)*n_inner to fit i32/i64,
+# which it checks itself (falling back to a 2-key sort).
+MAX_INDEX = 2**31 - 1
+
+
+def check_index_capacity(**named_sizes) -> None:
+    """Eager guard that every named size fits the i32 index type.
+
+    The TPU-native analog of the reference's "Index type is not large
+    enough" panic (sprs/tests/gh374.rs:10-33): instead of silently
+    wrapping i32 indices/indptr values, constructors raise a typed
+    StructureError at the boundary.
+    """
+    from ..errors import StructureError
+
+    for name, v in named_sizes.items():
+        if v is not None and int(v) > MAX_INDEX:
+            raise StructureError.index_overflow(
+                f"{name}={int(v)} exceeds the i32 index limit "
+                f"{MAX_INDEX}; the i32 index type is not large enough"
+            )
+
 
 def positions(cap: int) -> jax.Array:
     """[0, 1, ..., cap-1] as the index dtype."""

@@ -116,33 +116,46 @@ class LdlSymbolic:
             p = pinv = np.arange(n)
 
         # --- permuted upper-row gather map (row k of PAPᵀ, cols <= k) ----
-        wa = 1
-        rows_pos, rows_col = [], []
-        for k in range(n):
-            src = p[k]
-            pos = np.arange(indptr[src], indptr[src + 1])
-            cols = pinv[indices[pos]]
-            keep = cols <= k
-            rows_pos.append(pos[keep])
-            rows_col.append(cols[keep])
-            wa = max(wa, int(keep.sum()))
+        # Fully vectorized numpy — no per-row Python loops, so the
+        # symbolic phase survives 10^6-row inputs (round-1 weak spot).
+        cnt = (indptr[p + 1] - indptr[p]).astype(np.int64)
+        total = int(cnt.sum())
+        rowid = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        # flat source position of every entry of every permuted row
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], cnt)
+            + np.repeat(indptr[p].astype(np.int64), cnt)
+        )
+        cols = pinv[indices[pos]].astype(np.int64)
+        keep = cols <= rowid  # upper triangle of PAPᵀ, row-wise
+        kept_row = rowid[keep]
+        kept_pos = pos[keep]
+        kept_col = cols[keep]
+        kcount = (
+            np.bincount(kept_row, minlength=n).astype(np.int64)
+            if n
+            else np.zeros(0, np.int64)
+        )
+        wa = max(int(kcount.max()) if n else 1, 1)
+        koffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kcount, out=koffs[1:])
+        # rank within row (kept entries stay sorted by row — stable mask)
+        rank = np.arange(kept_row.size, dtype=np.int64) - koffs[kept_row]
         a_pos = np.zeros((n, wa), dtype=np.int64)
         a_col = np.full((n, wa), n, dtype=np.int64)
         a_live = np.zeros((n, wa), dtype=bool)
-        for k in range(n):
-            m = rows_pos[k].size
-            a_pos[k, :m] = rows_pos[k]
-            a_col[k, :m] = rows_col[k]
-            a_live[k, :m] = True
+        a_pos[kept_row, rank] = kept_pos
+        a_col[kept_row, rank] = kept_col
+        a_live[kept_row, rank] = True
 
         # --- etree + column counts + row patterns (lib.rs:445-496) -------
         from .. import native
 
-        row_ptr = np.zeros(n + 1, dtype=np.int64)
-        row_ptr[1:] = np.cumsum([c.size for c in rows_col])
-        row_cols_flat = (
-            np.concatenate(rows_col) if n else np.empty(0, np.int64)
-        ).astype(np.int32)
+        row_ptr = koffs
+        row_cols_flat = kept_col.astype(np.int32)
         nat = native.ldl_symbolic(row_ptr.astype(np.int32), row_cols_flat, n)
         if nat is not None:
             parent32, col_count32, row_count32, _total = nat
@@ -172,7 +185,7 @@ class LdlSymbolic:
             for k in range(n):
                 flag[k] = k
                 pat = []
-                for j0 in rows_col[k]:
+                for j0 in kept_col[koffs[k] : koffs[k + 1]]:
                     j = int(j0)
                     if j >= k:
                         continue

@@ -52,16 +52,15 @@ def lobpcg(
     m_op = precond if precond is not None else (lambda v: v)
 
     x = jnp.asarray(x0)
-    if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        raise NotImplementedError(
-            "lobpcg: complex (Hermitian) operators not supported yet"
-        )
     n, m = x.shape
+    rdtype = jnp.zeros((), x.dtype).real.dtype  # Ritz values are real
     x = _orthonormalize(x)
 
     def rayleigh(xb):
+        # Hermitian Rayleigh quotients: xᴴ A x is real for symmetric /
+        # Hermitian A; taking the real part also guards f32 noise.
         ax = a_op(xb)
-        lam = jnp.sum(xb * ax, axis=0)
+        lam = jnp.sum(jnp.conj(xb) * ax, axis=0).real.astype(rdtype)
         return ax, lam
 
     ax, lam = rayleigh(x)
@@ -69,7 +68,7 @@ def lobpcg(
         x=x,
         p=jnp.zeros_like(x),
         lam=lam,
-        res=jnp.full((m,), jnp.inf, x.dtype),
+        res=jnp.full((m,), jnp.inf, rdtype),
         it=jnp.zeros((), jnp.int32),
     )
 
@@ -79,9 +78,9 @@ def lobpcg(
     def body(s):
         x, p = s["x"], s["p"]
         ax = a_op(x)
-        lam = jnp.sum(x * ax, axis=0)
+        lam = jnp.sum(jnp.conj(x) * ax, axis=0).real.astype(rdtype)
         r = ax - x * lam[None, :]
-        res = jnp.linalg.norm(r, axis=0)
+        res = jnp.linalg.norm(r, axis=0).astype(rdtype)
         w = m_op(r)
         # Rayleigh-Ritz over span[x, w, p]; qr handles the rank
         # deficiency of p == 0 on the first pass via column pivoting of
@@ -89,31 +88,34 @@ def lobpcg(
         # concatenated basis
         S = _orthonormalize(jnp.concatenate([x, w, p], axis=1))
         AS = a_op(S)
-        T = S.T @ AS
-        T = (T + T.T) / 2
+        Sh = jnp.conj(S.T)
+        T = Sh @ AS
+        T = (T + jnp.conj(T.T)) / 2  # Hermitian projection
         evals, C = jnp.linalg.eigh(T)
         Cm = C[:, :m]
         x_new = S @ Cm
         # the P direction: the non-X part of the update
-        p_new = S @ (Cm - (S.T @ x) @ (x.T @ (S @ Cm)))
+        xh = jnp.conj(x.T)
+        p_new = S @ (Cm - (Sh @ x) @ (xh @ (S @ Cm)))
         p_norm = jnp.linalg.norm(p_new, axis=0)
         p_new = p_new / jnp.maximum(p_norm, 1e-30)[None, :]
         return dict(
             x=_orthonormalize(x_new),
             p=p_new,
-            lam=evals[:m],
+            lam=evals[:m].astype(rdtype),
             res=res,
             it=s["it"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, state)
     x = out["x"]
-    ax = a_op(x)
-    lam = jnp.sum(x * ax, axis=0)
+    ax, lam = rayleigh(x)
     order = jnp.argsort(lam)
     x = x[:, order]
     lam = lam[order]
-    res = jnp.linalg.norm(ax[:, order] - x * lam[None, :], axis=0)
+    res = jnp.linalg.norm(ax[:, order] - x * lam[None, :], axis=0).astype(
+        rdtype
+    )
 
     from ..formats.util import is_concrete
 

@@ -37,26 +37,36 @@ def lsqr(
     max_iter: int = 1000,
 ) -> LsqrResult:
     """min ‖A x − b‖.  ``mat`` is a CsMat, or a pair of callables
-    ``(matvec, rmatvec)`` applying A and Aᵀ."""
+    ``(matvec, rmatvec)`` applying A and Aᵀ (Aᴴ for complex A).
+
+    Complex systems are supported: the Golub–Kahan recurrence keeps all
+    rotation scalars (α, β, ρ, c, s, φ) real — only the Krylov vectors
+    are complex — so the update algebra below is dtype-agnostic."""
+    b = jnp.asarray(b)
     if isinstance(mat, CsMat):
         from ._dispatch import as_matvec
 
-        a_op, _ = as_matvec(mat, square=False)
-        at_op, _ = as_matvec(mat.T.to_csr(), square=False)
+        a_mat = mat
+        if jnp.issubdtype(b.dtype, jnp.complexfloating) or jnp.issubdtype(
+            jnp.result_type(mat.data.dtype), jnp.complexfloating
+        ):
+            ah_mat = mat.T.to_csr().map(jnp.conj)  # Aᴴ
+        else:
+            ah_mat = mat.T.to_csr()
+        a_op, _ = as_matvec(a_mat, square=False)
+        at_op, _ = as_matvec(ah_mat, square=False)
         rows, cols = mat.shape
     else:
         a_op, at_op = mat
         rows = cols = None
 
-    b = jnp.asarray(b)
-    if jnp.issubdtype(b.dtype, jnp.complexfloating):
-        raise NotImplementedError(
-            "lsqr: complex systems not supported yet"
-        )
     if rows is not None and b.shape != (rows,):
         raise ShapeError(f"rhs shape {b.shape}, expected ({rows},)")
     dtype = b.dtype
-    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype  # real twin for the scalars
+    tiny = jnp.asarray(
+        1e-300 if rdtype == jnp.float64 else 1e-30, rdtype
+    )
 
     beta1 = jnp.linalg.norm(b)
     u = b / jnp.maximum(beta1, tiny)

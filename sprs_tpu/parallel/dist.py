@@ -503,34 +503,39 @@ def shard_csr_2d(mat: CsMat, grid: Tuple[int, int]) -> Tuple[Dist2DCsMat, int]:
     indices = np.asarray(csr.indices)
     data = np.asarray(csr.data)
 
-    # bucket entries per block
-    blocks_ix = [[[] for _ in range(C)] for _ in range(R)]
-    blocks_dt = [[[] for _ in range(C)] for _ in range(R)]
-    blocks_rw = [[[] for _ in range(C)] for _ in range(R)]
-    for i in range(rows):
-        bi = i // rp
-        for p in range(indptr[i], indptr[i + 1]):
-            j = int(indices[p])
-            bj = j // cp
-            blocks_ix[bi][bj].append(j - bj * cp)
-            blocks_dt[bi][bj].append(data[p])
-            blocks_rw[bi][bj].append(i - bi * rp)
-    cap = max(
-        max((len(blocks_ix[i][j]) for i in range(R) for j in range(C)), default=1),
-        1,
+    # bucket entries per block — fully vectorized numpy (a per-entry
+    # Python loop here would be hopeless at 100M nnz)
+    nnz = int(indptr[-1])
+    rows_of = np.repeat(
+        np.arange(rows, dtype=np.int64), np.diff(indptr).astype(np.int64)
     )
+    cols_of = indices[:nnz].astype(np.int64)
+    bi = rows_of // rp
+    bj = cols_of // cp
+    block = bi * C + bj
+    # stable sort by block keeps the CSR (row, col) order inside each
+    # block, so local indices stay sorted per local row
+    order = np.argsort(block, kind="stable")
+    sblock = block[order]
+    bcount = np.bincount(sblock, minlength=R * C).astype(np.int64)
+    cap = max(int(bcount.max()) if nnz else 1, 1)
+    boffs = np.zeros(R * C + 1, dtype=np.int64)
+    np.cumsum(bcount, out=boffs[1:])
+    rank = np.arange(nnz, dtype=np.int64) - np.repeat(boffs[:-1], bcount)
+    local_row = rows_of[order] - (sblock // C) * rp
+    local_col = cols_of[order] - (sblock % C) * cp
+    ix = np.zeros((R * C, cap), dtype=np.int32)
+    dt = np.zeros((R * C, cap), dtype=data.dtype)
+    ix[sblock, rank] = local_col
+    dt[sblock, rank] = data[:nnz][order]
+    # per-(block, local row) histogram -> local indptr
+    lr_counts = np.bincount(
+        block * rp + rows_of - bi * rp, minlength=R * C * rp
+    ).reshape(R, C, rp)
     ip = np.zeros((R, C, rp + 1), dtype=np.int32)
-    ix = np.zeros((R, C, cap), dtype=np.int32)
-    dt = np.zeros((R, C, cap), dtype=data.dtype)
-    for i in range(R):
-        for j in range(C):
-            k = len(blocks_ix[i][j])
-            counts = np.bincount(
-                np.asarray(blocks_rw[i][j], dtype=np.int64), minlength=rp
-            ) if k else np.zeros(rp, np.int64)
-            ip[i, j, 1:] = np.cumsum(counts)
-            ix[i, j, :k] = blocks_ix[i][j]
-            dt[i, j, :k] = blocks_dt[i][j]
+    np.cumsum(lr_counts, axis=2, out=ip[:, :, 1:])
+    ix = ix.reshape(R, C, cap)
+    dt = dt.reshape(R, C, cap)
     d = Dist2DCsMat(
         jnp.asarray(ip), jnp.asarray(ix), jnp.asarray(dt), (rows, cols)
     )

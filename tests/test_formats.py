@@ -503,3 +503,94 @@ class TestScipyNameParity:
             np.testing.assert_allclose(
                 np.asarray(got.to_dense()), ref
             )
+
+
+class TestIndexOverflowGuards:
+    """gh374 analog (sprs/tests/gh374.rs:10-33): constructing a matrix
+    whose dims/capacity overflow the i32 index type must raise eagerly
+    ("Index type is not large enough" panic in the reference), never
+    silently wrap."""
+
+    def test_csmat_dims_overflow(self):
+        from sprs_tpu.errors import StructureError
+
+        with pytest.raises(StructureError, match="not large enough"):
+            st.csmat(
+                (2**31 + 5, 4), [0, 0], [0], [1.0], validate=False
+            )
+        with pytest.raises(StructureError, match="index_overflow"):
+            st.csmat(
+                (4, 2**31 + 5), [0, 0, 0, 0, 0], [0], [1.0], validate=False
+            )
+
+    def test_csmat_cap_overflow(self):
+        from sprs_tpu.errors import StructureError
+
+        with pytest.raises(StructureError, match="index_overflow"):
+            st.csmat((4, 4), [0] * 5, [], [], cap=2**31, validate=False)
+
+    def test_empty_and_eye_guard(self):
+        from sprs_tpu.errors import StructureError
+        from sprs_tpu.formats.csmat import empty, eye
+
+        with pytest.raises(StructureError):
+            empty((2**32, 3))
+        with pytest.raises(StructureError):
+            eye(2**31)
+
+    def test_trimat_guard(self):
+        from sprs_tpu.errors import StructureError
+        from sprs_tpu.formats.triplet import TriMat, coo_to_csmat
+
+        with pytest.raises(StructureError):
+            TriMat((2**31 + 1, 2))
+        with pytest.raises(StructureError):
+            coo_to_csmat([0], [0], [1.0], (2, 2**31 + 1))
+
+    def test_reasonable_sizes_fine(self):
+        m = st.csmat((3, 3), [0, 1, 1, 2], [0, 2], [1.0, 2.0])
+        assert m.shape == (3, 3)
+
+
+class TestSliceOuterTightCap:
+    def test_concrete_slice_gets_tight_cap(self):
+        d = np.zeros((6, 5))
+        d[0, :4] = np.arange(1, 5)
+        d[3, 2] = 7.0
+        d[5, 4] = 9.0
+        m = st.from_dense(d)
+        s = m.slice_outer(2, 5)  # rows 2..4: only (3,2) lives
+        assert s.cap == 1  # tight: one entry, not parent cap
+        np.testing.assert_allclose(np.asarray(s.to_dense()), d[2:5])
+        s2 = m.slice_outer(0, 1)
+        assert s2.cap == 4
+        np.testing.assert_allclose(np.asarray(s2.to_dense()), d[0:1])
+
+    def test_outer_blocks_total_work_bounded(self):
+        rng = np.random.default_rng(5)
+        d = rng.standard_normal((40, 8)) * (rng.random((40, 8)) < 0.2)
+        m = st.from_dense(d)
+        total_cap = 0
+        recon = np.zeros_like(d)
+        for start, blk in m.outer_blocks(7):
+            total_cap += blk.cap
+            recon[start : start + blk.shape[0]] = np.asarray(
+                blk.to_dense()
+            )
+        np.testing.assert_allclose(recon, d)
+        # total gathered capacity stays O(nnz + blocks), far below
+        # blocks * parent_cap
+        assert total_cap <= int(m.nnz) + 6
+
+    def test_traced_slice_keeps_parent_cap(self):
+        import jax
+
+        d = np.zeros((4, 4))
+        d[1, 1] = 2.0
+        m = st.from_dense(d)
+
+        @jax.jit
+        def f(mm):
+            return mm.slice_outer(1, 3).to_dense()
+
+        np.testing.assert_allclose(np.asarray(f(m)), d[1:3])
