@@ -17,8 +17,27 @@ from ..formats.csmat import CsMat
 from ..ops.permutation import Permutation
 
 
+def _symmetrized_pattern(indptr, indices, n):
+    """Pattern of A + Aᵀ as CSR arrays (AMD requires symmetry)."""
+    nnz = int(indptr[-1])
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = indices[:nnz].astype(np.int64)
+    key = np.concatenate([rows * n + cols, cols * n + rows])
+    key = np.unique(key)
+    srows = (key // n).astype(np.int64)
+    scols = (key % n).astype(np.int32)
+    sptr = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(np.bincount(srows, minlength=n), out=sptr[1:])
+    return sptr, scols
+
+
 def camd_order(mat: CsMat) -> Permutation:
-    """Minimum-degree permutation of a symmetric pattern."""
+    """Fill-reducing AMD permutation of a symmetric pattern.
+
+    Uses the native quotient-graph approximate-minimum-degree ordering
+    (sprs_host.cpp::sprs_amd) — the CAMD-role fast path.  Falls back to
+    a greedy exact min-degree in pure numpy when the native library is
+    unavailable (small inputs only)."""
     if mat.shape[0] != mat.shape[1]:
         raise NonSquareMatrixError("ordering requires a square matrix")
     csr = mat.to_csr()
@@ -28,9 +47,13 @@ def camd_order(mat: CsMat) -> Permutation:
 
     from .. import native
 
-    fast = native.min_degree(indptr, indices, n)
-    if fast is not None:
-        return Permutation.from_array(fast.astype(np.int32), check=False)
+    if native.available():
+        sptr, scols = _symmetrized_pattern(indptr, indices, n)
+        fast = native.amd(sptr, scols, n)
+        if fast is not None:
+            return Permutation.from_array(
+                fast.astype(np.int32), check=False
+            )
 
     # numpy fallback: greedy minimum degree with clique fill-in
     adj = [set() for _ in range(n)]

@@ -113,6 +113,8 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sprs_gauss_seidel.restype = ctypes.c_int64
     lib.sprs_min_degree.argtypes = [_I32P, _I32P, ctypes.c_int64, _I32P]
     lib.sprs_min_degree.restype = None
+    lib.sprs_amd.argtypes = [_I32P, _I32P, ctypes.c_int64, _I32P]
+    lib.sprs_amd.restype = None
     lib.sprs_lu.argtypes = [
         _I32P,
         _I32P,
@@ -288,6 +290,23 @@ def min_degree(indptr, indices, n):
         return None
     perm = np.empty(n, dtype=np.int32)
     lib.sprs_min_degree(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        perm,
+    )
+    return perm
+
+
+def amd(indptr, indices, n):
+    """Approximate minimum degree (AMD-class) ordering; the CAMD-role
+    fast path (reference: sprs_suitesparse_camd/src/lib.rs:22-60).
+    Input pattern must be symmetric.  Returns perm or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.empty(n, dtype=np.int32)
+    lib.sprs_amd(
         np.ascontiguousarray(indptr, np.int32),
         np.ascontiguousarray(indices, np.int32),
         n,

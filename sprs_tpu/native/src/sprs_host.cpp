@@ -337,6 +337,309 @@ void sprs_min_degree(const int32_t* indptr, const int32_t* indices, int64_t n,
   }
 }
 
+// Approximate minimum degree ordering (AMD-class).  Clean-room
+// implementation of the Amestoy–Davis–Duff algorithm family: quotient
+// graph elimination with element absorption, APPROXIMATE external
+// degrees (the two-bound formula), supervariable detection by adjacency
+// hashing, aggressive element absorption and mass elimination.
+// Near-linear in nnz in practice — replaces the exact O(n²+fill)
+// sprs_min_degree for the CAMD role (the reference binds SuiteSparse
+// CAMD, sprs_suitesparse_camd/src/lib.rs:22-60).
+//
+// Input: symmetric pattern CSR (diagonal ignored; caller symmetrizes).
+// Output: perm[k] = original index eliminated k-th.
+void sprs_amd(const int32_t* indptr, const int32_t* indices, int64_t n,
+              int32_t* perm) {
+  if (n <= 0) return;
+  const int64_t N = n;
+  // Node state machine: 0 = live variable (supervariable rep),
+  // 1 = live element, 2 = absorbed variable, 3 = absorbed element.
+  std::vector<std::vector<int32_t>> elist(static_cast<size_t>(n));
+  std::vector<std::vector<int32_t>> vlist(static_cast<size_t>(n));
+  std::vector<int32_t> nv(static_cast<size_t>(n), 1);
+  std::vector<int64_t> deg(static_cast<size_t>(n));
+  std::vector<int8_t> state(static_cast<size_t>(n), 0);
+  std::vector<int32_t> par(static_cast<size_t>(n), -1);
+  std::vector<int64_t> w(static_cast<size_t>(n), -1);    // |Le \ Lp| scratch
+  std::vector<int64_t> mark(static_cast<size_t>(n), 0);  // tag scratch
+  std::vector<int64_t> elim_step(static_cast<size_t>(n), -1);
+  int64_t tag = 0;
+
+  // degree buckets (doubly linked): head[d] for d in [0, N]
+  std::vector<int32_t> head(static_cast<size_t>(N + 1), -1);
+  std::vector<int32_t> nxt(static_cast<size_t>(n), -1);
+  std::vector<int32_t> prv(static_cast<size_t>(n), -1);
+  auto bucket_of = [&](int64_t d) {
+    return static_cast<size_t>(d < 0 ? 0 : (d > N ? N : d));
+  };
+  auto deg_insert = [&](int32_t i, int64_t d) {
+    size_t h = bucket_of(d);
+    nxt[static_cast<size_t>(i)] = head[h];
+    prv[static_cast<size_t>(i)] = -1;
+    if (head[h] != -1) prv[static_cast<size_t>(head[h])] = i;
+    head[h] = i;
+  };
+  auto deg_remove = [&](int32_t i, int64_t d) {
+    size_t h = bucket_of(d);
+    int32_t pi = prv[static_cast<size_t>(i)], ni = nxt[static_cast<size_t>(i)];
+    if (pi != -1) nxt[static_cast<size_t>(pi)] = ni;
+    else head[h] = ni;
+    if (ni != -1) prv[static_cast<size_t>(ni)] = pi;
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    auto& vl = vlist[static_cast<size_t>(i)];
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int32_t j = indices[p];
+      if (j != static_cast<int32_t>(i)) vl.push_back(j);
+    }
+    std::sort(vl.begin(), vl.end());
+    vl.erase(std::unique(vl.begin(), vl.end()), vl.end());
+    deg[static_cast<size_t>(i)] = static_cast<int64_t>(vl.size());
+    deg_insert(static_cast<int32_t>(i), deg[static_cast<size_t>(i)]);
+  }
+
+  std::vector<int32_t> Lp, touched, hashed, masseliminated;
+  std::vector<int32_t> hash_head(static_cast<size_t>(n), -1);
+  std::vector<int32_t> hash_next(static_cast<size_t>(n), -1);
+
+  int64_t mind = 0;
+  int64_t k = 0;     // original columns eliminated
+  int64_t step = 0;  // pivot count
+  while (k < n) {
+    while (mind <= N && head[static_cast<size_t>(mind)] == -1) ++mind;
+    int32_t p = head[static_cast<size_t>(mind)];
+    deg_remove(p, deg[static_cast<size_t>(p)]);
+
+    // ---- form the boundary Lp of the new element p ----
+    Lp.clear();
+    ++tag;
+    mark[static_cast<size_t>(p)] = tag;
+    for (int32_t j : vlist[static_cast<size_t>(p)]) {
+      if (state[static_cast<size_t>(j)] != 0 || nv[static_cast<size_t>(j)] == 0)
+        continue;
+      if (mark[static_cast<size_t>(j)] != tag) {
+        mark[static_cast<size_t>(j)] = tag;
+        Lp.push_back(j);
+      }
+    }
+    for (int32_t e : elist[static_cast<size_t>(p)]) {
+      if (state[static_cast<size_t>(e)] != 1) continue;
+      for (int32_t j : elist[static_cast<size_t>(e)]) {
+        if (state[static_cast<size_t>(j)] != 0 ||
+            nv[static_cast<size_t>(j)] == 0)
+          continue;
+        if (mark[static_cast<size_t>(j)] != tag) {
+          mark[static_cast<size_t>(j)] = tag;
+          Lp.push_back(j);
+        }
+      }
+      state[static_cast<size_t>(e)] = 3;  // absorbed into p
+      std::vector<int32_t>().swap(elist[static_cast<size_t>(e)]);
+    }
+    state[static_cast<size_t>(p)] = 1;
+    std::vector<int32_t>().swap(vlist[static_cast<size_t>(p)]);
+    elim_step[static_cast<size_t>(p)] = step;
+    int64_t lp_weight = 0;
+    for (int32_t j : Lp) lp_weight += nv[static_cast<size_t>(j)];
+    int64_t npiv = nv[static_cast<size_t>(p)];
+
+    // ---- w[e] = |Le \ Lp| (weighted) for every element touching Lp;
+    //      first touch also compacts Le to live members ----
+    touched.clear();
+    const int64_t lp_tag = tag;  // Lp membership marker
+    for (int32_t i : Lp) {
+      for (int32_t e : elist[static_cast<size_t>(i)]) {
+        if (state[static_cast<size_t>(e)] != 1) continue;
+        if (w[static_cast<size_t>(e)] < 0) {
+          auto& le = elist[static_cast<size_t>(e)];
+          size_t m = 0;
+          int64_t s = 0;
+          for (int32_t j : le) {
+            if (state[static_cast<size_t>(j)] == 0 &&
+                nv[static_cast<size_t>(j)] > 0) {
+              le[m++] = j;
+              s += nv[static_cast<size_t>(j)];
+            }
+          }
+          le.resize(m);
+          w[static_cast<size_t>(e)] = s;
+          touched.push_back(e);
+        }
+        w[static_cast<size_t>(e)] -= nv[static_cast<size_t>(i)];
+      }
+    }
+
+    // ---- per-member update: prune lists, approximate degree ----
+    hashed.clear();
+    masseliminated.clear();
+    for (int32_t i : Lp) {
+      size_t si = static_cast<size_t>(i);
+      deg_remove(i, deg[si]);
+      // prune vlist: keep live vars outside Lp (inside-Lp adjacency is
+      // now represented by element p)
+      auto& vl = vlist[si];
+      size_t m = 0;
+      int64_t avl = 0;
+      for (int32_t j : vl) {
+        size_t sj = static_cast<size_t>(j);
+        if (state[sj] != 0 || nv[sj] == 0) continue;
+        if (mark[sj] == lp_tag || j == p) continue;
+        vl[m++] = j;
+        avl += nv[sj];
+      }
+      vl.resize(m);
+      // prune elist: drop absorbed; aggressive absorption when Le ⊆ Lp
+      auto& el = elist[si];
+      size_t me = 0;
+      int64_t esum = 0;
+      for (int32_t e : el) {
+        size_t se = static_cast<size_t>(e);
+        if (state[se] != 1 || e == p) continue;
+        if (w[se] == 0) {
+          state[se] = 3;
+          std::vector<int32_t>().swap(elist[se]);
+          continue;
+        }
+        el[me++] = e;
+        esum += w[se];
+      }
+      el.resize(me);
+      el.push_back(p);
+      // Amestoy–Davis–Duff two-bound approximate external degree
+      int64_t ext = lp_weight - nv[si];
+      int64_t d = deg[si] + ext;              // bound 1: old + new clique
+      int64_t d2 = avl + ext + esum;          // bound 2: exact-ish sum
+      if (d2 < d) d = d2;
+      int64_t cap = n - k - nv[si];
+      if (cap < d) d = cap;
+      if (d < 0) d = 0;
+      deg[si] = d;
+      if (d == 0) {
+        // mass elimination: i has no connections outside the pivot
+        // block — eliminate with p
+        state[si] = 2;
+        par[si] = p;
+        npiv += nv[si];
+        masseliminated.push_back(i);
+        continue;
+      }
+      // hash for supervariable detection: sum of pruned adjacency
+      uint64_t h = 0;
+      for (int32_t e : el) h += static_cast<uint64_t>(e);
+      for (int32_t j : vl) h += static_cast<uint64_t>(j);
+      int32_t slot = static_cast<int32_t>(h % static_cast<uint64_t>(n));
+      hash_next[si] = hash_head[static_cast<size_t>(slot)];
+      hash_head[static_cast<size_t>(slot)] = i;
+      hashed.push_back(slot);
+    }
+    for (int32_t i : masseliminated) nv[static_cast<size_t>(i)] = 0;
+
+    // ---- supervariable detection within hash buckets ----
+    for (int32_t slot : hashed) {
+      size_t ss = static_cast<size_t>(slot);
+      int32_t i = hash_head[ss];
+      if (i == -1) continue;  // bucket already drained
+      while (i != -1) {
+        size_t si = static_cast<size_t>(i);
+        if (state[si] != 0 || nv[si] == 0) {
+          i = hash_next[si];
+          continue;
+        }
+        // mark i's adjacency
+        ++tag;
+        for (int32_t e : elist[si]) mark[static_cast<size_t>(e)] = tag;
+        for (int32_t j : vlist[si]) mark[static_cast<size_t>(j)] = tag;
+        int32_t j = hash_next[si];
+        while (j != -1) {
+          size_t sj = static_cast<size_t>(j);
+          int32_t j_next = hash_next[sj];
+          if (state[sj] == 0 && nv[sj] > 0 &&
+              elist[sj].size() == elist[si].size() &&
+              vlist[sj].size() == vlist[si].size()) {
+            bool same = true;
+            for (int32_t e : elist[sj])
+              if (mark[static_cast<size_t>(e)] != tag) {
+                same = false;
+                break;
+              }
+            if (same)
+              for (int32_t v2 : vlist[sj])
+                if (mark[static_cast<size_t>(v2)] != tag) {
+                  same = false;
+                  break;
+                }
+            if (same) {
+              // merge supervariable j into i; j was external to i and
+              // counted in i's approximate degree — remove its weight.
+              // (No deg_remove: every Lp member is out of the buckets
+              // during this phase; finalize re-inserts survivors only.)
+              int32_t nvj = nv[sj];
+              nv[si] += nvj;
+              nv[sj] = 0;
+              state[sj] = 2;
+              par[sj] = i;
+              deg[si] -= nvj;
+            }
+          }
+          j = j_next;
+        }
+        i = hash_next[si];
+      }
+      hash_head[ss] = -1;
+    }
+
+    // ---- finalize: rebuild Le(p), re-bucket surviving members ----
+    auto& lep = elist[static_cast<size_t>(p)];
+    lep.clear();
+    for (int32_t i : Lp) {
+      size_t si = static_cast<size_t>(i);
+      if (state[si] != 0 || nv[si] == 0) continue;
+      lep.push_back(i);
+      // degree can only have shrunk via merges; clamp and insert
+      int64_t d = deg[si];
+      int64_t cap = n - k - npiv - nv[si];
+      if (cap < d) d = cap;
+      if (d < 0) d = 0;
+      deg[si] = d;
+      deg_insert(i, d);
+      if (d < mind) mind = d;
+    }
+    for (int32_t e : touched) w[static_cast<size_t>(e)] = -1;
+    k += npiv;
+    nv[static_cast<size_t>(p)] = static_cast<int32_t>(npiv);
+    ++step;
+  }
+
+  // ---- expand the absorption forest into the final ordering ----
+  std::vector<int32_t> root(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t r = static_cast<int32_t>(i);
+    while (par[static_cast<size_t>(r)] != -1) r = par[static_cast<size_t>(r)];
+    // path-compress
+    int32_t c = static_cast<int32_t>(i);
+    while (par[static_cast<size_t>(c)] != -1) {
+      int32_t nx2 = par[static_cast<size_t>(c)];
+      par[static_cast<size_t>(c)] = (r == c) ? -1 : r;
+      c = nx2;
+    }
+    root[static_cast<size_t>(i)] = r;
+  }
+  // stable counting sort by elimination step of the root
+  std::vector<int64_t> cnt(static_cast<size_t>(step + 1), 0);
+  for (int64_t i = 0; i < n; ++i)
+    ++cnt[static_cast<size_t>(elim_step[static_cast<size_t>(
+        root[static_cast<size_t>(i)])])];
+  std::vector<int64_t> pos(static_cast<size_t>(step + 1), 0);
+  for (int64_t s = 1; s <= step; ++s)
+    pos[static_cast<size_t>(s)] =
+        pos[static_cast<size_t>(s - 1)] + cnt[static_cast<size_t>(s - 1)];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t s = elim_step[static_cast<size_t>(root[static_cast<size_t>(i)])];
+    perm[pos[static_cast<size_t>(s)]++] = static_cast<int32_t>(i);
+  }
+}
+
 // Sparse LU with threshold partial pivoting (left-looking
 // Gilbert–Peierls).  Native twin of the Python reference in
 // sprs_tpu/linalg/lu.py (which mirrors the role of the reference's
