@@ -71,13 +71,16 @@ def amalgamate(
     *,
     max_zeros: int = 32,
     max_width: int = 128,
+    rel_zeros: float = 0.125,
 ) -> Supernodes:
     """Relaxed amalgamation: greedily merge a supernode into its etree
     parent supernode when (a) its last column's parent is the parent
     supernode's first column, (b) the merged width stays ≤
     ``max_width`` (one MXU tile), and (c) the explicit zeros introduced
     (children columns padded to the parent's row structure) stay ≤
-    ``max_zeros``.
+    ``max_zeros`` OR ≤ ``rel_zeros`` of the merged block's entries
+    (CHOLMOD-style relative budget — the absolute budget alone keeps
+    banded matrices at width ~8, far too narrow for the MXU).
 
     Zeros introduced when merging child block [c0,c1) into parent block
     starting at p0: each child column j gains
@@ -86,34 +89,43 @@ def amalgamate(
     """
     n = parent.shape[0]
     ptr = list(sn.ptr)
-    merged = True
-    while merged:
-        merged = False
-        s = len(ptr) - 2
-        while s >= 0:
-            c0, c1 = ptr[s], ptr[s + 1]
-            if c1 >= n:
-                s -= 1
-                continue
-            p_first = ptr[s + 1]
-            if parent[c1 - 1] != p_first:
-                s -= 1
-                continue
-            p_end = ptr[s + 2] if s + 2 < len(ptr) else n
-            width = p_end - c0
-            if width > max_width:
-                s -= 1
-                continue
-            zeros = 0
-            target = colcount[p_first]
-            for j in range(c0, c1):
-                zeros += (target + (p_first - j)) - colcount[j]
-            if zeros < 0 or zeros > max_zeros:
-                s -= 1
-                continue
-            del ptr[s + 1]
-            merged = True
+    # accumulated explicit zeros already inside each (merged) block, so
+    # repeated merges account for their own padding
+    zeros_in = [0] * (len(ptr) - 1)
+    s = len(ptr) - 2
+    while s >= 0:
+        c0, c1 = ptr[s], ptr[s + 1]
+        if c1 >= n or parent[c1 - 1] != ptr[s + 1]:
             s -= 1
+            continue
+        p_first = ptr[s + 1]
+        p_end = ptr[s + 2] if s + 2 < len(ptr) else n
+        width = p_end - c0
+        if width > max_width:
+            s -= 1
+            continue
+        target = int(colcount[p_first])
+        js = np.arange(c0, c1)
+        zeros = int(
+            np.sum((target + (p_first - js)) - colcount[c0:c1])
+        )
+        if zeros < 0:
+            s -= 1
+            continue
+        total_zeros = zeros + zeros_in[s] + zeros_in[s + 1]
+        entries = int(np.sum(colcount[c0:c1])) + int(
+            np.sum(colcount[p_first:p_end])
+        ) + total_zeros
+        if total_zeros > max_zeros and total_zeros > rel_zeros * entries:
+            s -= 1
+            continue
+        del ptr[s + 1]
+        zeros_in[s] = total_zeros
+        del zeros_in[s + 1]
+        # retry the same position: chains collapse in one sweep
+        if s + 1 < len(ptr) - 1:
+            continue
+        s -= 1
     ptr_arr = np.asarray(ptr, dtype=np.int64)
     of = np.zeros(n, dtype=np.int64)
     of[ptr_arr[1:-1]] = 1
