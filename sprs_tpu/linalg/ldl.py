@@ -251,7 +251,7 @@ class LdlSymbolic:
         )
         sched_upper = build_schedule(lt_sym, lower=False)
 
-        return cls(
+        sym = cls(
             n=n,
             perm=perm,
             parent=parent,
@@ -269,6 +269,18 @@ class LdlSymbolic:
             sched_upper=sched_upper,
             wc=wc,
         )
+        return sym
+
+    def super_plan(self, **kwargs):
+        """The supernodal schedule for this pattern (built lazily, cached
+        on the instance).  Raises ``SupernodalPlanError`` if infeasible."""
+        cached = self.__dict__.get("_super_plan")
+        if cached is None:
+            from .ldl_super import build_super_plan
+
+            cached = build_super_plan(self, **kwargs)
+            object.__setattr__(self, "_super_plan", cached)
+        return cached
 
     def factor(self, mat: CsMat, *, backend: str = "auto") -> "LdlNumeric":
         return LdlNumeric.factor(self, mat, backend=backend)
@@ -394,10 +406,29 @@ class LdlNumeric:
         if a.shape != (sym.n, sym.n):
             raise ShapeError("matrix shape differs from symbolic plan")
         if backend == "auto":
-            backend = "host" if is_concrete(a.data) else "device"
+            if is_concrete(a.data):
+                backend = "host"
+            else:
+                # traced/device data: prefer the supernodal MXU numeric
+                # when a plan is feasible; the sequential row scan is the
+                # fallback for tiny or pathological structures.
+                backend = "device"
+                if sym.n >= 256:
+                    from .ldl_super import SupernodalPlanError
+
+                    try:
+                        sym.super_plan()
+                        backend = "supernodal"
+                    except SupernodalPlanError:
+                        pass
         if backend == "host":
             lx, d = _numeric_host(sym, np.asarray(a.data, dtype=np.float64))
             return cls(sym, jnp.asarray(lx), jnp.asarray(d))
+        if backend == "supernodal":
+            from .ldl_super import numeric_supernodal
+
+            lx, d = numeric_supernodal(sym.super_plan(), a.data)
+            return cls(sym, lx, d)
         lx, d = _numeric_device(sym, a.data)
         return cls(sym, lx, d)
 

@@ -1,0 +1,400 @@
+"""Supernodal left-looking LDLᵀ numeric — dense frontal GEMMs on the MXU.
+
+Executes docs/SUPERNODAL_PLAN.md step 2.  The reference's numeric is an
+up-looking row recurrence (/root/reference/sprs-ldl/src/lib.rs:502-593);
+the TPU-native answer is a CHOLMOD-class supernodal schedule: columns of
+L are partitioned into supernodes (shared below-diagonal row structure,
+see ``supernodes.py``), each factored as one dense trapezoidal panel,
+with inter-supernode Schur updates expressed as (MR×W)·(W×W) matmuls —
+exactly the shape the MXU wants, instead of the row scan's length-wc
+scalar-ish updates.
+
+Why this is exact (not an approximation):
+
+* Supernode s spans columns ``[c0, c1)``; every column j is padded to
+  the structure ``[j+1..c1) ∪ rows(s)`` where ``rows(s)`` is the
+  below-block structure of the LAST column c1−1.  The etree containment
+  ``struct(j) ∩ (j, n) ⊆ struct(parent(j)) ∪ {parent(j)}`` plus the
+  amalgamation rule (blocks merge only along child-last → parent-first
+  etree links) guarantees rows(s) covers every member column's below-
+  block structure, so the padded panel holds the whole true pattern.
+* Entries introduced by padding are EXACTLY 0.0 in floating point: for
+  a position outside the simplicial pattern, every update term carries
+  a factor that is itself a padded (exactly-zero) entry — by induction,
+  and because IEEE gives 0·x = 0 and 0−0 = 0 exactly — so gathering the
+  simplicial CSC slots out of the panels reproduces the row-scan
+  factorization up to summation order.
+
+Memory layout: panels are stored back-to-back in one flat array with a
+fixed row stride of W (the max supernode width); panel s occupies
+``off[s] + r*W + c`` for row-slot r < rows[s].  Row slots: the first
+w[s] are the diagonal-block rows c0..c1−1, the rest are rows(s) in
+ascending order.  Reads are contiguous ``dynamic_slice``s of MR·W (the
+flat array carries MR·W slack at the end so slices never clamp), writes
+are contiguous ``dynamic_update_slice``s that restore overhang rows —
+there is no scatter anywhere in the hot loop, because TPU scatter
+throughput (~50M elem/s) would dominate everything else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..errors import LinalgError
+from ..formats.util import INDEX_DTYPE
+from .supernodes import amalgamate, fundamental_supernodes
+
+
+class SupernodalPlanError(LinalgError):
+    """Raised when a supernodal plan would be infeasible (memory) —
+    callers fall back to the row-scan numeric."""
+
+
+def _ceil8(x: int) -> int:
+    return max(8, (int(x) + 7) & ~7)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperPlan:
+    """Static supernodal factorization schedule (host-precomputed)."""
+
+    n: int
+    S: int  # number of supernodes
+    W: int  # max supernode width, padded to a multiple of 8
+    MR: int  # max panel rows (width + below-rows), padded, >= W
+    P: int  # flat panel array length (includes MR*W read slack)
+    # per-supernode geometry
+    c0: np.ndarray  # (S,) first column
+    w: np.ndarray  # (S,) width
+    rows: np.ndarray  # (S,) valid panel rows (w + |below|)
+    off: np.ndarray  # (S,) flat panel offsets
+    # assembly: scatter A's lower-triangle values into the panels
+    asm_src: np.ndarray  # (nnz_low,) positions into the input data array
+    asm_dst: np.ndarray  # (nnz_low,) flat panel positions
+    # task schedule: per-target updates (type 0) then its factor (type 1)
+    t_type: np.ndarray  # (T,)
+    t_src: np.ndarray  # (T,) descendant supernode (== snode for factor)
+    t_dst: np.ndarray  # (T,) target supernode
+    t_rmap: np.ndarray  # (T, MR) target row-slot -> source panel row-slot
+    #   (MR = "no shared row": gathers the zero pad row)
+    # extraction: CSC slot -> flat panel position
+    csc_gather: np.ndarray  # (lnz,)
+
+    @property
+    def n_tasks(self) -> int:
+        return self.t_type.shape[0]
+
+
+def build_super_plan(
+    sym,
+    *,
+    max_width: int = 128,
+    max_zeros: int = 32,
+    rel_zeros: float = 0.125,
+    panel_limit: int = 1 << 28,
+    map_limit: int = 1 << 26,
+) -> SuperPlan:
+    """Build the supernodal schedule from an ``LdlSymbolic``.
+
+    ``panel_limit`` bounds the flat panel array length (elements); it
+    must stay < 2^29 so int32 position arithmetic (with the OOB
+    sentinel P) cannot overflow.  ``map_limit`` bounds the (T, MR)
+    row-map table.  Exceeding either raises ``SupernodalPlanError``.
+    """
+    n = sym.n
+    if n == 0:
+        raise SupernodalPlanError("empty matrix")
+    lp = np.asarray(sym.l_indptr, dtype=np.int64)
+    li = np.asarray(sym.l_indices, dtype=np.int64)
+    col_size = np.diff(lp)
+    sn = fundamental_supernodes(np.asarray(sym.parent), col_size)
+    sn = amalgamate(
+        sn,
+        np.asarray(sym.parent),
+        col_size,
+        max_zeros=max_zeros,
+        max_width=max_width,
+        rel_zeros=rel_zeros,
+    )
+    ptr = sn.ptr
+    of = sn.of
+    S = sn.n_snodes
+    c0 = ptr[:-1].astype(np.int64)
+    c1 = ptr[1:].astype(np.int64)
+    w = c1 - c0
+    W = _ceil8(int(w.max()))
+
+    # below-block structure of each supernode = struct of its LAST column
+    counts = lp[c1] - lp[c1 - 1] - 1  # below-rows of column c1-1
+    below_ptr = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(counts, out=below_ptr[1:])
+    total_below = int(below_ptr[-1])
+    idx = (
+        np.arange(total_below, dtype=np.int64)
+        - np.repeat(below_ptr[:-1], counts)
+        + np.repeat(lp[c1 - 1] + 1, counts)
+    )
+    below_flat = li[idx]
+    rows = w + counts
+    MR = max(_ceil8(int(rows.max())), W)
+    off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(rows * W, out=off[1:])
+    P = int(off[-1]) + MR * W
+    if P > panel_limit:
+        raise SupernodalPlanError(
+            f"panel storage {P} elements exceeds limit {panel_limit}"
+        )
+
+    # sorted membership key: (owner supernode, global row) — owners
+    # ascend and rows ascend within an owner, so the concatenation is
+    # globally sorted and one searchsorted answers membership queries.
+    below_owner = np.repeat(np.arange(S, dtype=np.int64), counts)
+    below_key = below_owner * np.int64(n) + below_flat
+
+    def member_slot(snode: np.ndarray, g: np.ndarray):
+        """Panel row-slot of global row g inside supernode ``snode``
+        (vectorized); returns (slot, found) with found=False where g is
+        not in the supernode's below structure."""
+        qk = snode * np.int64(n) + g
+        if total_below:
+            pos = np.searchsorted(below_key, qk)
+            posc = np.minimum(pos, total_below - 1)
+            found = (g >= 0) & (below_key[posc] == qk)
+            slot = w[snode] + (posc - below_ptr[snode])
+        else:
+            found = np.zeros(qk.shape, dtype=bool)
+            slot = np.zeros(qk.shape, dtype=np.int64)
+        return slot, found
+
+    # --- assembly map: A lower-triangle entries -> panel positions -----
+    wa = sym.a_pos.shape[1]
+    live = np.asarray(sym.a_live).ravel()
+    k_ent = np.repeat(np.arange(n, dtype=np.int64), wa)[live]
+    j_ent = np.asarray(sym.a_col, dtype=np.int64).ravel()[live]
+    asm_src = np.asarray(sym.a_pos, dtype=np.int64).ravel()[live]
+    s_ent = of[j_ent]
+    in_diag = k_ent < c1[s_ent]
+    bslot, bfound = member_slot(s_ent, k_ent)
+    if not np.all(in_diag | bfound):
+        raise SupernodalPlanError(
+            "matrix entry outside the symbolic L pattern"
+        )
+    rslot = np.where(in_diag, k_ent - c0[s_ent], bslot)
+    asm_dst = off[s_ent] + rslot * W + (j_ent - c0[s_ent])
+
+    # --- update pairs: descendant d touches target t iff a below-row of
+    # d lands in t's columns.  (owner, of[row]) keys are sorted already.
+    if total_below:
+        t_of_below = of[below_flat]
+        pair_key = below_owner * np.int64(S) + t_of_below
+        uniq = np.unique(pair_key)
+        pair_d = uniq // S
+        pair_t = uniq % S
+    else:
+        pair_d = pair_t = np.zeros(0, dtype=np.int64)
+    npairs = pair_d.shape[0]
+    T = npairs + S
+    if T * MR > map_limit:
+        raise SupernodalPlanError(
+            f"row-map table {T}x{MR} exceeds limit {map_limit}"
+        )
+
+    # --- per-pair row map: target row-slot -> descendant panel row-slot
+    slots = np.arange(MR, dtype=np.int64)
+    if npairs:
+        tw = w[pair_t][:, None]
+        trows = rows[pair_t][:, None]
+        g_diag = c0[pair_t][:, None] + slots[None, :]
+        bidx = below_ptr[pair_t][:, None] + (slots[None, :] - tw)
+        in_diag_slot = slots[None, :] < tw
+        in_below_slot = (slots[None, :] >= tw) & (slots[None, :] < trows)
+        bidx_c = np.clip(bidx, 0, max(total_below - 1, 0))
+        g = np.where(
+            in_diag_slot,
+            g_diag,
+            np.where(in_below_slot, below_flat[bidx_c], -1),
+        )
+        dslot, dfound = member_slot(
+            np.broadcast_to(pair_d[:, None], g.shape), g
+        )
+        rmap = np.where(dfound, dslot, MR)
+    else:
+        rmap = np.zeros((0, MR), dtype=np.int64)
+
+    # --- task schedule: for each target s ascending, its updates
+    # (descendants ascending) then its factor step -----------------------
+    upd_cnt = np.bincount(pair_t, minlength=S) if npairs else np.zeros(S, np.int64)
+    task_ptr = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(upd_cnt + 1, out=task_ptr[1:])
+    t_type = np.zeros(T, dtype=np.int32)
+    t_src = np.zeros(T, dtype=np.int64)
+    t_dst = np.zeros(T, dtype=np.int64)
+    t_rmap = np.full((T, MR), MR, dtype=np.int64)
+    if npairs:
+        order = np.lexsort((pair_d, pair_t))
+        pt_sorted = pair_t[order]
+        # rank of each pair within its target group
+        grp_first = np.zeros(npairs, dtype=np.int64)
+        newgrp = np.ones(npairs, dtype=bool)
+        newgrp[1:] = pt_sorted[1:] != pt_sorted[:-1]
+        grp_first[newgrp] = np.nonzero(newgrp)[0]
+        grp_first = np.maximum.accumulate(grp_first)
+        rank = np.arange(npairs, dtype=np.int64) - grp_first
+        upd_idx = task_ptr[pt_sorted] + rank
+        t_src[upd_idx] = pair_d[order]
+        t_dst[upd_idx] = pt_sorted
+        t_rmap[upd_idx] = rmap[order]
+    fact_idx = task_ptr[1:] - 1
+    t_type[fact_idx] = 1
+    t_src[fact_idx] = np.arange(S)
+    t_dst[fact_idx] = np.arange(S)
+
+    # --- extraction: CSC slot -> panel position ------------------------
+    colj = np.repeat(np.arange(n, dtype=np.int64), col_size)
+    s_c = of[colj]
+    r = li
+    in_diag3 = r < c1[s_c]
+    bslot3, bfound3 = member_slot(s_c, r)
+    if not np.all(in_diag3 | bfound3):
+        raise SupernodalPlanError("L pattern row outside supernode structure")
+    rslot3 = np.where(in_diag3, r - c0[s_c], bslot3)
+    csc_gather = off[s_c] + rslot3 * W + (colj - c0[s_c])
+
+    return SuperPlan(
+        n=n,
+        S=S,
+        W=W,
+        MR=MR,
+        P=P,
+        c0=c0,
+        w=w,
+        rows=rows,
+        off=off[:-1],
+        asm_src=asm_src,
+        asm_dst=asm_dst,
+        t_type=t_type,
+        t_src=t_src,
+        t_dst=t_dst,
+        t_rmap=t_rmap,
+        csc_gather=csc_gather,
+    )
+
+
+def numeric_supernodal(plan: SuperPlan, data: jax.Array):
+    """Jittable supernodal numeric: returns ``(l_data, d)`` in the same
+    CSC-slot layout as the row-scan numeric (``ldl._numeric_device``).
+
+    Zero/negative-pivot poisoning follows the row-scan contract: XLA
+    cannot raise, so singular inputs surface as NaN/Inf in the outputs.
+    """
+    n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
+    PB = MR - W
+    dtype = data.dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(dtype, jnp.float32)
+        data = data.astype(dtype)
+
+    off_a = jnp.asarray(plan.off, dtype=INDEX_DTYPE)
+    c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
+    w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
+    rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
+    colsW = jnp.arange(W, dtype=INDEX_DTYPE)
+
+    # assemble A's lower triangle into the zero-initialized panels
+    Lp0 = (
+        jnp.zeros((P,), dtype)
+        .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
+        .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
+    )
+    dext0 = jnp.zeros((n + W,), dtype)
+
+    def _update(Lp, dext, src, dst, rmap):
+        # Schur update: target[r, c] -= sum_k Ld[rmap[r], k] * D[k] *
+        # Ld[colmap[c], k] — one (MR, W) @ (W, W) matmul, no scatter.
+        Pd = lax.dynamic_slice(Lp, (off_a[src],), (MR * W,)).reshape(MR, W)
+        Pdpad = jnp.concatenate([Pd, jnp.zeros((1, W), dtype)], axis=0)
+        Dd = lax.dynamic_slice(dext, (c0_a[src],), (W,))
+        Dd = jnp.where(colsW < w_a[src], Dd, 0)
+        B = Pdpad[rmap, :]  # (MR, W) rows shared with the target
+        colmap = jnp.where(colsW < w_a[dst], rmap[:W], MR)
+        G = Pdpad[colmap, :] * Dd[None, :]  # (W, W)
+        U = B @ G.T  # (MR, W), already in target row/col slots
+        Pt = lax.dynamic_slice(Lp, (off_a[dst],), (MR * W,)).reshape(MR, W)
+        Lp = lax.dynamic_update_slice(
+            Lp, (Pt - U).reshape(-1), (off_a[dst],)
+        )
+        return Lp, dext
+
+    def _factor(Lp, dext, s):
+        off_s = off_a[s]
+        ws = w_a[s]
+        rs = rows_a[s]
+        panel = lax.dynamic_slice(Lp, (off_s,), (MR * W,)).reshape(MR, W)
+        live_col = colsW < ws
+        top = jnp.where(live_col[None, :], panel[:W, :], 0)
+        top = top.at[colsW, colsW].set(
+            jnp.where(live_col, jnp.diagonal(top), 1)
+        )
+
+        def step(j, carry):
+            M, dv = carry
+            colv = M[:, j]
+            dj = colv[j]
+            lcol = jnp.where(colsW > j, colv / dj, 0).at[j].set(1)
+            rowv = jnp.where(colsW > j, colv, 0)
+            M = M - jnp.outer(lcol, rowv)
+            M = M.at[:, j].set(jnp.where(colsW >= j, lcol, 0))
+            dv = dv.at[j].set(dj)
+            return M, dv
+
+        top, dvec = lax.fori_loop(
+            0, W, step, (top, jnp.ones((W,), dtype))
+        )
+        if PB:
+            bottom = panel[W:, :]
+            xt = lax.linalg.triangular_solve(
+                top,
+                bottom,
+                left_side=False,
+                lower=True,
+                transpose_a=True,
+                unit_diagonal=True,
+            )
+            bottom = xt / dvec[None, :]
+            full = jnp.concatenate([top, bottom], axis=0)
+        else:
+            full = top
+        rr = jnp.arange(MR, dtype=INDEX_DTYPE)[:, None]
+        vals = jnp.where(
+            rr < rs, jnp.where(live_col[None, :], full, 0), panel
+        )
+        Lp = lax.dynamic_update_slice(Lp, vals.reshape(-1), (off_s,))
+        dext = lax.dynamic_update_slice(dext, dvec, (c0_a[s],))
+        return Lp, dext
+
+    def body(carry, xs):
+        Lp, dext = carry
+        ttype, src, dst, rmap = xs
+        Lp, dext = lax.cond(
+            ttype == 1,
+            lambda L, de: _factor(L, de, src),
+            lambda L, de: _update(L, de, src, dst, rmap),
+            Lp,
+            dext,
+        )
+        return (Lp, dext), None
+
+    xs = (
+        jnp.asarray(plan.t_type),
+        jnp.asarray(plan.t_src, dtype=INDEX_DTYPE),
+        jnp.asarray(plan.t_dst, dtype=INDEX_DTYPE),
+        jnp.asarray(plan.t_rmap, dtype=INDEX_DTYPE),
+    )
+    (Lp, dext), _ = lax.scan(body, (Lp0, dext0), xs)
+    lx = Lp[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
+    return lx, dext[:n]

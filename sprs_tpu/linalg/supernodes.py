@@ -45,19 +45,24 @@ def fundamental_supernodes(
     a topological (e.g. natural post-RCM) order with parent[j] > j.
     """
     n = parent.shape[0]
-    starts = [0] if n else []
+    parent = np.asarray(parent)
+    colcount = np.asarray(colcount)
+    if n == 0:
+        return Supernodes(
+            ptr=np.zeros(1, dtype=np.int64), of=np.zeros(0, dtype=np.int64)
+        )
     # a column also starts a supernode when it has more than one etree
-    # child (its structure cannot equal a single child's minus one)
-    n_children = np.zeros(n, dtype=np.int64)
-    for j in range(n):
-        p = parent[j]
-        if p >= 0:
-            n_children[p] += 1
-    for j in range(1, n):
-        chain = parent[j - 1] == j and colcount[j] == colcount[j - 1] - 1
-        if not (chain and n_children[j] == 1):
-            starts.append(j)
-    ptr = np.asarray(starts + [n], dtype=np.int64)
+    # child (its structure cannot equal a single child's minus one).
+    # Fully vectorized: the symbolic layer must survive 10^6-row inputs.
+    n_children = np.bincount(parent[parent >= 0], minlength=n)
+    j = np.arange(1, n)
+    chain = (
+        (parent[:-1] == j)
+        & (colcount[1:] == colcount[:-1] - 1)
+        & (n_children[1:] == 1)
+    )
+    starts = np.concatenate([[0], j[~chain]])
+    ptr = np.concatenate([starts, [n]]).astype(np.int64)
     of = np.zeros(n, dtype=np.int64)
     of[ptr[1:-1]] = 1
     of = np.cumsum(of)

@@ -1,0 +1,168 @@
+"""Supernodal LDLᵀ numeric: parity against the exact host numeric.
+
+Mirrors the golden-parity discipline of tests/test_ldl_golden.py
+(reference: /root/reference/sprs-ldl/src/lib.rs:634-845): the supernodal
+factorization reorders floating-point sums, so we assert relative
+closeness in f64 rather than bit identity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.linalg import Ldl
+from sprs_tpu.linalg.ldl import LdlSymbolic
+from sprs_tpu.linalg.ldl_super import build_super_plan, numeric_supernodal
+from sprs_tpu.utils.special import dirichlet_laplacian
+
+
+def _rand_spd(n, density, seed, jitter=0.0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n)) * (rng.random((n, n)) < density)
+    spd = a @ a.T + n * np.eye(n)
+    if jitter:
+        spd += jitter * np.diag(rng.random(n))
+    return spd
+
+
+def _factor_pair(mat, fill="none"):
+    """(host exact, supernodal) factor pair on the same symbolic plan."""
+    builder = Ldl().fill_in_reduction(fill).check_symmetry(False)
+    sym = builder.symbolic(mat)
+    host = sym.factor(mat, backend="host")
+    sup = sym.factor(mat, backend="supernodal")
+    return host, sup
+
+
+def _assert_factor_close(host, sup, rtol=1e-10):
+    l_h = np.asarray(host.l_data)
+    l_s = np.asarray(sup.l_data)
+    scale = max(np.abs(l_h).max(), 1.0)
+    np.testing.assert_allclose(l_s, l_h, rtol=rtol, atol=rtol * scale)
+    np.testing.assert_allclose(
+        np.asarray(sup.d), np.asarray(host.d), rtol=rtol
+    )
+
+
+class TestSupernodalParity:
+    @pytest.mark.parametrize("fill", ["none", "rcm"])
+    @pytest.mark.parametrize("grid", [(7, 9), (12, 12)])
+    def test_laplacian(self, grid, fill):
+        mat = dirichlet_laplacian(grid)
+        host, sup = _factor_pair(mat, fill)
+        _assert_factor_close(host, sup)
+
+    def test_dense_spd(self):
+        # one big supernode, no below rows on the root
+        spd = _rand_spd(24, 1.0, 0)
+        host, sup = _factor_pair(st.from_dense(spd))
+        _assert_factor_close(host, sup)
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_random_sparse_spd(self, seed):
+        spd = _rand_spd(60, 0.08, seed, jitter=0.5)
+        host, sup = _factor_pair(st.from_dense(spd))
+        _assert_factor_close(host, sup)
+
+    def test_tridiagonal(self):
+        n = 37
+        d = np.zeros((n, n))
+        np.fill_diagonal(d, 2.0 + np.arange(n) * 0.1)
+        idx = np.arange(n - 1)
+        d[idx, idx + 1] = -1.0
+        d[idx + 1, idx] = -1.0
+        host, sup = _factor_pair(st.from_dense(d))
+        _assert_factor_close(host, sup)
+
+    def test_arrowhead(self):
+        # dense last row/column: branching etree, wide root supernode
+        n = 30
+        d = np.eye(n) * 4.0
+        d[-1, :] = 1.0
+        d[:, -1] = 1.0
+        d[-1, -1] = n
+        host, sup = _factor_pair(st.from_dense(d))
+        _assert_factor_close(host, sup)
+
+    def test_diagonal_matrix(self):
+        # no below rows anywhere: pure factor tasks
+        d = np.diag(np.arange(1.0, 9.0))
+        host, sup = _factor_pair(st.from_dense(d))
+        _assert_factor_close(host, sup)
+
+    def test_golden_fixture(self):
+        # the reference 10x10 golden fixture (sprs-ldl/src/lib.rs:634-745)
+        from tests.test_ldl_golden import fixture_mat
+
+        mat = fixture_mat()
+        host, sup = _factor_pair(mat)
+        _assert_factor_close(host, sup, rtol=1e-12)
+
+    def test_solve_roundtrip(self):
+        mat = dirichlet_laplacian((9, 9))
+        sym = Ldl().fill_in_reduction("rcm").symbolic(mat)
+        num = sym.factor(mat, backend="supernodal")
+        b = np.linspace(-1.0, 2.0, 81)
+        x = np.asarray(num.solve(b))
+        ad = np.asarray(mat.to_dense())
+        np.testing.assert_allclose(ad @ x, b, atol=1e-9)
+
+    def test_jit_refactorization(self):
+        # same pattern, two value sets, jitted once (the update() path)
+        spd1 = _rand_spd(40, 0.15, 7, jitter=0.3)
+        mask = spd1 != 0
+        rng = np.random.default_rng(8)
+        a2 = rng.normal(size=(40, 40)) * mask
+        spd2 = (a2 + a2.T) / 2 + 80 * np.eye(40)
+        spd2 *= mask  # identical pattern
+        m1 = st.from_dense(spd1)
+        sym = Ldl().check_symmetry(False).symbolic(m1)
+        plan = sym.super_plan()
+
+        f = jax.jit(lambda data: numeric_supernodal(plan, data))
+        for spd in (spd1, spd2):
+            m = st.from_dense(spd).to_csr()
+            lx, d = f(m.data)
+            host = sym.factor(st.from_dense(spd), backend="host")
+            np.testing.assert_allclose(
+                np.asarray(lx), np.asarray(host.l_data), atol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(host.d), rtol=1e-10
+            )
+
+
+class TestSuperPlan:
+    def test_plan_geometry(self):
+        mat = dirichlet_laplacian((10, 10))
+        sym = Ldl().fill_in_reduction("rcm").symbolic(mat)
+        plan = build_super_plan(sym)
+        # supernodes tile the columns
+        assert int(plan.c0[0]) == 0
+        widths = np.asarray(plan.w)
+        assert (widths >= 1).all()
+        assert int((plan.c0 + widths)[-1]) == plan.n
+        np.testing.assert_array_equal(plan.c0[1:], (plan.c0 + widths)[:-1])
+        # every column slot extracted exactly once
+        assert plan.csc_gather.shape[0] == sym.nnz
+        assert len(np.unique(plan.csc_gather)) == sym.nnz
+        # one factor task per supernode, in ascending order
+        fact = plan.t_src[plan.t_type == 1]
+        np.testing.assert_array_equal(fact, np.arange(plan.S))
+
+    def test_amalgamation_widens_banded(self):
+        mat = dirichlet_laplacian((16, 16))
+        sym = Ldl().fill_in_reduction("rcm").symbolic(mat)
+        plan = build_super_plan(sym)
+        # the relative-zeros budget must produce MXU-worthy panels
+        assert plan.w.max() >= 8
+
+    def test_infeasible_raises(self):
+        from sprs_tpu.linalg.ldl_super import SupernodalPlanError
+
+        mat = dirichlet_laplacian((8, 8))
+        sym = LdlSymbolic.from_matrix(mat)
+        with pytest.raises(SupernodalPlanError):
+            build_super_plan(sym, panel_limit=16)
