@@ -1,0 +1,145 @@
+"""LDLᵀ refactorization benchmark: supernodal (MXU panels) vs row scan.
+
+Perf gate from the round-1 review: supernodal device refactorization
+must be >= 10x the sequential ``lax.scan`` row numeric on a >= 256²
+dirichlet Laplacian.  Methodology per CLAUDE.md: chained steps
+(``data = f(data)``), fetch-terminated, health-reference first, all
+variants compared within ONE process.
+
+Usage:
+    python benches/ldl_bench.py [--grid 256] [--scan-grid 256]
+        [--iters 5] [--dtype f32] [--json results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sprs_tpu as st
+from sprs_tpu.linalg import Ldl
+from sprs_tpu.linalg.ldl import _numeric_device
+from sprs_tpu.linalg.ldl_super import build_super_plan, numeric_supernodal
+from sprs_tpu.utils.profile import chain_time_best
+from sprs_tpu.utils.special import dirichlet_laplacian
+
+
+def health_reference():
+    """Trivial elementwise op; if this is slow the tunnel is degraded."""
+    x = jnp.asarray(np.random.default_rng(0).random(1 << 20, np.float32))
+    step = jax.jit(lambda x: x * 1.01 + 1.0)
+    dt = chain_time_best(step, x, iters=20, rounds=2)
+    return dt
+
+
+def prep(grid):
+    mat = dirichlet_laplacian((grid, grid))
+    t0 = time.perf_counter()
+    sym = Ldl().fill_in_reduction("rcm").check_symmetry(False).symbolic(mat)
+    t_sym = time.perf_counter() - t0
+    a = mat.to_csr()
+    return mat, sym, a, t_sym
+
+
+def useful_flops(sym):
+    """Simplicial factorization flops: sum over columns of c*(c+2)."""
+    c = np.diff(np.asarray(sym.l_indptr)) - 1  # below-diag counts
+    return float(np.sum(c * (c + 2.0)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=256)
+    ap.add_argument("--scan-grid", type=int, default=None,
+                    help="grid for the row-scan baseline (defaults to --grid)")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--scan-iters", type=int, default=2)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+
+    out = {"backend": jax.default_backend(), "grid": args.grid}
+    print(f"# backend={jax.default_backend()}", flush=True)
+    h = health_reference()
+    out["health_us"] = round(h * 1e6, 1)
+    print(f"# health reference: {h*1e6:.0f} us/iter (want ~sub-ms)", flush=True)
+
+    mat, sym, a, t_sym = prep(args.grid)
+    n = sym.n
+    out["n"] = n
+    out["lnz"] = sym.nnz
+    out["t_symbolic_s"] = round(t_sym, 3)
+    t0 = time.perf_counter()
+    plan = build_super_plan(sym)
+    out["t_plan_s"] = round(time.perf_counter() - t0, 3)
+    out["snodes"] = plan.S
+    out["W"] = plan.W
+    out["MR"] = plan.MR
+    out["tasks"] = plan.n_tasks
+    out["panel_MB"] = round(plan.P * dtype.dtype.itemsize / 1e6, 1)
+    fl = useful_flops(sym)
+    out["useful_gflop"] = round(fl / 1e9, 3)
+    print(f"# n={n} lnz={sym.nnz} snodes={plan.S} W={plan.W} MR={plan.MR} "
+          f"tasks={plan.n_tasks} useful_gflop={fl/1e9:.2f}", flush=True)
+
+    data = a.data.astype(dtype)
+
+    def super_step(d):
+        lx, dd = numeric_supernodal(plan, d)
+        return d + 0.0 * dd[0] * lx[0]
+
+    t_sup = chain_time_best(
+        jax.jit(super_step), data, iters=args.iters, rounds=3
+    )
+    out["supernodal_s"] = t_sup
+    out["supernodal_gflops"] = round(fl / t_sup / 1e9, 2)
+    print(f"supernodal: {t_sup*1e3:.1f} ms/refactor "
+          f"({fl/t_sup/1e9:.1f} useful GFLOP/s)", flush=True)
+
+    # row-scan baseline (optionally smaller grid if the full size is
+    # prohibitively slow -- report normalized per-flop time too)
+    if args.scan_iters == 0:
+        print(json.dumps(out), flush=True)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f)
+        return
+    sg = args.scan_grid or args.grid
+    if sg == args.grid:
+        sym2, a2, fl2 = sym, a, fl
+    else:
+        _, sym2, a2, _ = prep(sg)
+        fl2 = useful_flops(sym2)
+    out["scan_grid"] = sg
+
+    def scan_step(d):
+        lx, dd = _numeric_device(sym2, d)
+        return d + 0.0 * dd[0] * lx[0]
+
+    t_scan = chain_time_best(
+        jax.jit(scan_step), a2.data.astype(dtype),
+        iters=args.scan_iters, rounds=1
+    )
+    out["scan_s"] = t_scan
+    out["scan_gflops"] = round(fl2 / t_scan / 1e9, 3)
+    speedup = (t_scan / fl2) / (t_sup / fl)
+    out["speedup_per_flop"] = round(speedup, 1)
+    if sg == args.grid:
+        out["speedup"] = round(t_scan / t_sup, 1)
+    print(f"row-scan (grid {sg}): {t_scan*1e3:.1f} ms/refactor "
+          f"({fl2/t_scan/1e9:.2f} useful GFLOP/s)", flush=True)
+    print(f"speedup (per-flop normalized): {speedup:.1f}x", flush=True)
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
