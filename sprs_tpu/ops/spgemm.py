@@ -204,16 +204,21 @@ CHUNK_PRODUCT_BUDGET = 32 * 1024 * 1024
 
 def _spgemm_chunked(a: CsMat, b: CsMat, budget: int) -> CsMat:
     """Row-chunked ESC SpGEMM for product counts beyond one sort's
-    budget.  Host (concrete) path only: boundaries are chosen on the
-    host so every chunk's expansion fits ``budget`` products, each chunk
-    runs the standard device pipeline, and the CSR results are stitched
-    with indptr offsets (construct.rs:10-45 semantics)."""
+    budget.  Host (concrete) path only for the BOUNDARIES: chunk limits
+    are chosen on the host so every chunk's expansion fits ``budget``
+    products, then everything else stays device-resident — chunk inputs
+    are ``dynamic_slice``s of A's device arrays inside one compiled
+    executable, chunk outputs are sliced/stitched as device arrays, and
+    the only per-chunk tunnel traffic is four index scalars up and one
+    nnz scalar down.  (Round 1 round-tripped every chunk's full result
+    through the host: 133 s vs scipy's 7.8 s at 140M products.)  The
+    sequential-device analog of the reference's nnz-balanced row
+    chunking (smmp.rs:335-372)."""
     import numpy as np
 
     nnz_a = int(a.nnz)
     indptr = np.asarray(a.indptr)
     idx = np.asarray(a.indices)[:nnz_a]
-    dat = np.asarray(a.data)[:nnz_a]
     b_lens = np.diff(np.asarray(b.indptr))
     per_entry = b_lens[idx] if nnz_a else np.zeros((0,), np.int64)
     entry_prefix = np.concatenate([[0], np.cumsum(per_entry)])
@@ -247,59 +252,80 @@ def _spgemm_chunked(a: CsMat, b: CsMat, budget: int) -> CsMat:
     )
     chunk_prod_cap = max(chunk_prod_cap, 1)
 
-    run = jax.jit(
-        functools.partial(
-            spgemm,
+    # A's arrays padded with slack so in-jit dynamic_slice never clamps.
+    a_idx_pad = jnp.concatenate(
+        [a.indices, jnp.zeros((max_ents,), a.indices.dtype)]
+    )
+    a_dat_pad = jnp.concatenate(
+        [a.data, jnp.zeros((max_ents,), a.data.dtype)]
+    )
+    a_ip_pad = jnp.concatenate(
+        [
+            a.indptr,
+            jnp.full((max_rows,), a.indptr[-1], a.indptr.dtype),
+        ]
+    )
+    ncols = a.cols
+
+    @jax.jit
+    def run_chunk(aidx, adat, aip, bmat, r0, lo, nents):
+        # rows [r0, r0+max_rows) of A with entries [lo, lo+nents);
+        # rows past the chunk end clamp to empty via the nents clip.
+        ipfull = jax.lax.dynamic_slice(aip, (r0,), (max_rows + 1,))
+        ip = jnp.clip(ipfull - lo, 0, nents).astype(INDEX_DTYPE)
+        sub = CsMat(
+            ip,
+            jax.lax.dynamic_slice(aidx, (lo,), (max_ents,)),
+            jax.lax.dynamic_slice(adat, (lo,), (max_ents,)),
+            (max_rows, ncols),
+            "csr",
+        )
+        c = spgemm(
+            sub,
+            bmat,
             prod_cap=chunk_prod_cap,
             out_cap=chunk_prod_cap,
             check_capacity=False,
         )
-    )
+        return c.indptr, c.indices, c.data
 
-    parts_indptr = [np.zeros((1,), np.int64)]
+    parts_indptr = [jnp.zeros((1,), jnp.int64)]
     parts_indices = []
     parts_data = []
     base = 0
     for r0, r1 in chunks:
         lo, hi = int(indptr[r0]), int(indptr[r1])
-        sub_indptr = np.full((max_rows + 1,), hi - lo, np.int32)
-        sub_indptr[: r1 - r0 + 1] = indptr[r0 : r1 + 1] - lo
-        sub = CsMat(
-            jnp.asarray(sub_indptr),
-            jnp.asarray(
-                np.pad(idx[lo:hi], (0, max_ents - (hi - lo)))
-            ),
-            jnp.asarray(
-                np.pad(dat[lo:hi], (0, max_ents - (hi - lo)))
-            ),
-            (max_rows, a.cols),
-            "csr",
+        cipr, cidx, cdat = run_chunk(
+            a_idx_pad,
+            a_dat_pad,
+            a_ip_pad,
+            b,
+            jnp.int32(r0),
+            jnp.int32(lo),
+            jnp.int32(hi - lo),
         )
-        c = run(sub, b)
-        c_indptr = np.asarray(c.indptr, np.int64)
-        c_nnz = int(c_indptr[r1 - r0])  # live rows only
-        parts_indptr.append(c_indptr[1 : r1 - r0 + 1] + base)
-        parts_indices.append(np.asarray(c.indices)[:c_nnz])
-        parts_data.append(np.asarray(c.data)[:c_nnz])
+        c_nnz = int(cipr[r1 - r0])  # one scalar down the tunnel
+        parts_indptr.append(
+            cipr[1 : r1 - r0 + 1].astype(jnp.int64) + base
+        )
+        parts_indices.append(jax.lax.slice(cidx, (0,), (c_nnz,)))
+        parts_data.append(jax.lax.slice(cdat, (0,), (c_nnz,)))
         base += c_nnz
-    out_indptr = np.concatenate(parts_indptr).astype(np.int64)
-    out_indices = (
-        np.concatenate(parts_indices)
-        if parts_indices
-        else np.zeros((0,), np.int32)
-    )
-    out_data = (
-        np.concatenate(parts_data)
-        if parts_data
-        else np.zeros((0,), dat.dtype)
-    )
     cap = max(base, 1)
+    pad = cap - base
+    out_indices = jnp.concatenate(
+        parts_indices + [jnp.zeros((pad,), INDEX_DTYPE)]
+    )
+    out_data = jnp.concatenate(
+        parts_data + [jnp.zeros((pad,), a.data.dtype)]
+    )
+    out_indptr = jnp.concatenate(parts_indptr)
+    if base < 2**31:
+        out_indptr = out_indptr.astype(INDEX_DTYPE)
     return CsMat(
-        jnp.asarray(out_indptr.astype(np.int32)),
-        jnp.asarray(
-            np.pad(out_indices, (0, cap - base)).astype(np.int32)
-        ),
-        jnp.asarray(np.pad(out_data, (0, cap - base))),
+        out_indptr,
+        out_indices.astype(INDEX_DTYPE),
+        out_data,
         (a.rows, b.cols),
         "csr",
     )
