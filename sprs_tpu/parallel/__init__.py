@@ -1,13 +1,16 @@
 """Multi-device distribution: row/block-sharded sparse kernels."""
 
 from .dist import (
+    BGatherPlan,
     Dist2DCsMat,
     DistCsMat,
     dist_spgemm,
+    dist_spgemm_bgather,
     dist_spgemm_bshard,
     dist_spmm,
     dist_spmv,
     dist_spmv_2d,
+    plan_b_gather,
     shard_csr_2d,
     shard_csr_rows,
 )
@@ -21,6 +24,7 @@ from .halo import (
 )
 
 __all__ = [
+    "BGatherPlan",
     "Dist2DCsMat",
     "DistCsMat",
     "HaloCsMat",
@@ -28,7 +32,9 @@ __all__ = [
     "dist_spmv_halo_overlap",
     "shard_csr_rows_halo_split",
     "dist_spgemm",
+    "dist_spgemm_bgather",
     "dist_spgemm_bshard",
+    "plan_b_gather",
     "dist_spmm",
     "dist_spmv",
     "dist_spmv_2d",

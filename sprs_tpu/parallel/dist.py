@@ -453,6 +453,237 @@ def dist_spgemm_bshard(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class BGatherPlan:
+    """Host-built schedule for :func:`dist_spgemm_bgather`.
+
+    ``rounds`` ppermute rounds fetch, per device, only the B row blocks
+    its local A columns reference (SURVEY §5.8's "gather referenced B
+    rows" schedule at block granularity).  SPMD needs uniform shapes, so
+    every device runs ``rounds`` = max referenced-block count; devices
+    with fewer refs re-fetch their own block (a local copy, no ICI
+    traffic for the self-pair).
+
+    ``perms[k]`` is the (src, dst) pair list of round k — a valid XLA
+    CollectivePermute (targets unique; sources may repeat = multicast).
+    ``slot_of_block[i, g]`` is the round index at which device i received
+    block g, or ``rounds`` if unreferenced.  ``comm_blocks``/
+    ``full_blocks`` quantify the saving vs a full all-gather.
+    """
+
+    rounds: int  # ppermute rounds (edge-coloring colors)
+    perms: Tuple[Tuple[Tuple[int, int], ...], ...]
+    slot_of_block: np.ndarray  # (S, S) int32; slot 0 = own block
+    comm_blocks: int  # max REMOTE blocks fetched by any device
+    mean_blocks: float  # mean remote blocks per device
+    full_blocks: int  # what all-gather would move (= S-1 remote)
+
+    @property
+    def comm_fraction(self) -> float:
+        """Per-device remote B traffic relative to a full all-gather."""
+        return self.comm_blocks / max(self.full_blocks, 1)
+
+
+def plan_b_gather(da: DistCsMat, db: DistCsMat) -> BGatherPlan:
+    """Build the referenced-block gather schedule (host-side, concrete).
+
+    For each A shard i, the set of B row blocks {col // rp_b} touched by
+    its column indices.  The reference's SMMP fan-out touches exactly the
+    B rows named by A's columns (smmp.rs:129-145); this is that access
+    pattern lifted to block granularity over a device mesh.
+
+    Device i's own block is always available locally (slot 0, no
+    traffic).  Remote demands form a bipartite multigraph (owner →
+    requester); XLA's CollectivePermute needs unique sources AND
+    targets per round, so the demand edges are greedily edge-colored
+    into proper partial permutations — at most 2Δ−1 rounds for maximum
+    degree Δ (König guarantees Δ exist; greedy is near enough and
+    O(E·Δ)).  A popular block (dense column of A) degrades gracefully
+    toward the all-gather schedule, which is its true traffic.
+    """
+    S = da.n_shards
+    if db.n_shards != S:
+        raise ShapeError(
+            f"plan_b_gather: {S} A shards vs {db.n_shards} B shards"
+        )
+    rp_b = db.rows_per_shard
+    refs = []
+    ip = np.asarray(da.indptr)
+    ix = np.asarray(da.indices)
+    for i in range(S):
+        nnz_i = int(ip[i, -1])
+        blocks = (
+            np.unique(ix[i, :nnz_i] // rp_b)
+            if nnz_i
+            else np.zeros((0,), np.int64)
+        )
+        refs.append([int(g) for g in blocks if g < S and g != i])
+    mean_blocks = float(np.mean([len(r) for r in refs])) if S else 0.0
+    max_blocks = max((len(r) for r in refs), default=0)
+
+    # greedy proper edge coloring of the (owner, requester) edges
+    src_used = [set() for _ in range(S)]  # colors busy at each source
+    dst_used = [set() for _ in range(S)]
+    color_of = {}
+    for i in range(S):
+        for g in refs[i]:
+            c = 0
+            while c in src_used[g] or c in dst_used[i]:
+                c += 1
+            color_of[(g, i)] = c
+            src_used[g].add(c)
+            dst_used[i].add(c)
+    K = 1 + max(color_of.values()) if color_of else 0
+
+    nslots = K + 1  # slot 0 = own block
+    slot = np.full((S, S), nslots, dtype=np.int32)
+    for i in range(S):
+        slot[i, i] = 0
+    perms = [[] for _ in range(K)]
+    for (g, i), c in color_of.items():
+        perms[c].append((g, i))
+        slot[i, g] = 1 + c
+    return BGatherPlan(
+        rounds=K,
+        perms=tuple(tuple(p) for p in perms),
+        slot_of_block=slot,
+        comm_blocks=max_blocks,
+        mean_blocks=mean_blocks,
+        full_blocks=max(S - 1, 1),
+    )
+
+
+def dist_spgemm_bgather(
+    da: DistCsMat,
+    db: DistCsMat,
+    mesh: Mesh,
+    *,
+    axis: str = "shards",
+    plan: Optional[BGatherPlan] = None,
+    prod_cap: Optional[int] = None,
+    out_cap: Optional[int] = None,
+) -> DistCsMat:
+    """C = A @ B, both row-sharded, fetching ONLY referenced B blocks.
+
+    Where :func:`dist_spgemm_bshard` all-gathers every B shard to every
+    device (O(nnz(B)) memory/traffic per device), this runs
+    ``plan.rounds`` static ppermute rounds: round k delivers to device i
+    the k-th B block its local A columns reference.  Per-device traffic
+    and gathered memory are O(max_i refs_i · nnz(B)/S) — proportional to
+    referenced rows, the SURVEY §5.8 schedule.  For banded/local
+    matrices refs_i ≪ S and this rides ICI neighbor links.
+
+    Requires ``db`` rows-balanced (``balance="rows"``) so block g owns
+    rows [g·rp_b, (g+1)·rp_b).
+    """
+    if da.shape[1] != db.shape[0]:
+        raise ShapeError(f"dist_spgemm_bgather: {da.shape} @ {db.shape}")
+    ids = np.asarray(db.row_ids)
+    S = db.n_shards
+    rp_b = db.rows_per_shard
+    expect = np.arange(S * rp_b).reshape(S, rp_b)
+    live_b = ids < db.shape[0]
+    if not np.array_equal(ids[live_b], expect[live_b]):
+        raise ShapeError(
+            "dist_spgemm_bgather needs rows-balanced B shards "
+            '(shard_csr_rows(..., balance="rows"))'
+        )
+    if plan is None:
+        plan = plan_b_gather(da, db)
+    K = plan.rounds
+    rows_per = da.rows_per_shard
+    cap_b = db.cap_per_shard
+
+    if prod_cap is None:
+        b_lens_h = np.zeros(db.shape[0] + 1, dtype=np.int64)
+        for s in range(S):
+            lip = np.asarray(db.indptr)[s]
+            lens = np.diff(lip)
+            r0 = s * rp_b
+            take = min(rp_b, db.shape[0] - r0)
+            if take > 0:
+                b_lens_h[r0 : r0 + take] = lens[:take]
+        caps = []
+        for s in range(da.n_shards):
+            nnz_s = int(np.asarray(da.indptr)[s, -1])
+            idx = np.asarray(da.indices)[s, :nnz_s]
+            caps.append(int(b_lens_h[idx].sum()) if nnz_s else 0)
+        prod_cap = max(max(caps), 1)
+    if out_cap is None:
+        out_cap = prod_cap
+
+    from ..formats.util import compress_coo
+    from ..ops.spgemm import _expand_from_rows
+
+    n_inner = db.shape[1]
+    padded_b_rows = S * rp_b
+    slot_dev = jnp.asarray(plan.slot_of_block)  # (S, S)
+    perms = plan.perms
+
+    nslots = K + 1  # slot 0 = own block, local copy
+
+    def kernel(aip, aix, adt, bip, bix, bdt, slot_row):
+        # slot 0: own block; round k: the color-k partial permutation
+        g_ip, g_ix, g_dt = [bip[0]], [bix[0]], [bdt[0]]
+        for k in range(K):
+            g_ip.append(jax.lax.ppermute(bip[0], axis, perms[k]))
+            g_ix.append(jax.lax.ppermute(bix[0], axis, perms[k]))
+            g_dt.append(jax.lax.ppermute(bdt[0], axis, perms[k]))
+        g_ip = jnp.stack(g_ip)  # (nslots, rp_b+1)
+        g_ix = jnp.concatenate(g_ix)  # (nslots*cap_b,)
+        g_dt = jnp.concatenate(g_dt)
+
+        # map global (padded) B row -> span in the gathered arrays
+        r = jnp.arange(padded_b_rows, dtype=INDEX_DTYPE)
+        g = r // rp_b
+        lr = r - g * rp_b
+        sl = slot_row[0][g]  # (padded_b_rows,)
+        safe = jnp.minimum(sl, nslots - 1)
+        start = safe * cap_b + g_ip[safe, lr]
+        lens = jnp.where(
+            sl < nslots, g_ip[safe, lr + 1] - g_ip[safe, lr], 0
+        ).astype(INDEX_DTYPE)
+
+        local = CsMat(
+            aip[0], aix[0], adt[0], (rows_per, padded_b_rows), CSR
+        )
+        rows, cols, vals, total = _expand_from_rows(
+            local, start.astype(INDEX_DTYPE), lens, g_ix, g_dt, prod_cap
+        )
+        res = compress_coo(
+            rows=rows,
+            cols=cols,
+            value_channels=(vals,),
+            nvalid=total,
+            n_outer=rows_per,
+            n_inner=n_inner,
+            out_cap=out_cap,
+        )
+        return (
+            res.indptr[None],
+            res.indices[None],
+            res.values[0][None],
+        )
+
+    cip, cix, cdt = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(
+        da.indptr,
+        da.indices,
+        da.data,
+        db.indptr,
+        db.indices,
+        db.data,
+        slot_dev,
+    )
+    return DistCsMat(
+        cip, cix, cdt, da.row_ids, (da.shape[0], db.shape[1])
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2-D block partitioning
 # ---------------------------------------------------------------------------

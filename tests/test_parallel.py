@@ -111,6 +111,63 @@ class TestDistSpgemmBshard:
             dist_spgemm_bshard(A, B, mesh_1d(4))
 
 
+class TestDistSpgemmBgather:
+    @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_both_sharded(self, n_shards):
+        from sprs_tpu.parallel import dist_spgemm_bgather
+
+        da = random_sparse(24, 18, seed=8)
+        db = random_sparse(18, 20, seed=9)
+        A = shard_csr_rows(st.from_dense(da), n_shards)
+        B = shard_csr_rows(st.from_dense(db), n_shards)
+        c = dist_spgemm_bgather(A, B, mesh_1d(n_shards))
+        np.testing.assert_allclose(
+            np.asarray(c.to_csmat().to_dense()), da @ db, rtol=1e-10
+        )
+
+    def test_banded_fetches_fewer_blocks(self):
+        """The whole point: a banded A references O(1) B blocks per
+        device, so the plan moves less than an all-gather would."""
+        from sprs_tpu.parallel import (
+            dist_spgemm_bgather,
+            plan_b_gather,
+        )
+
+        n = 64
+        d = np.zeros((n, n))
+        for off in (-1, 0, 1):
+            idx = np.arange(max(0, -off), min(n, n - off))
+            d[idx, idx + off] = RNG.standard_normal(idx.size) + 2.0
+        A = shard_csr_rows(st.from_dense(d), 8)
+        B = shard_csr_rows(st.from_dense(d), 8)
+        plan = plan_b_gather(A, B)
+        assert plan.comm_blocks <= 2  # neighbor blocks only
+        assert plan.full_blocks == 7  # all-gather moves S-1 remote
+        assert plan.comm_fraction < 0.5
+        c = dist_spgemm_bgather(A, B, mesh_1d(8), plan=plan)
+        np.testing.assert_allclose(
+            np.asarray(c.to_csmat().to_dense()), d @ d, rtol=1e-10
+        )
+
+    def test_empty_shard(self):
+        """A shard with no entries references zero blocks; the padded
+        self-fetch keeps the SPMD schedule uniform."""
+        from sprs_tpu.parallel import dist_spgemm_bgather
+
+        d = np.zeros((16, 16))
+        d[:4] = random_sparse(4, 16, seed=13)  # shards 1-3 empty
+        A = shard_csr_rows(st.from_dense(d), 4)
+        B = shard_csr_rows(
+            st.from_dense(random_sparse(16, 12, seed=14)), 4
+        )
+        c = dist_spgemm_bgather(A, B, mesh_1d(4))
+        np.testing.assert_allclose(
+            np.asarray(c.to_csmat().to_dense()),
+            d @ np.asarray(B.to_csmat().to_dense()),
+            rtol=1e-10,
+        )
+
+
 class TestDist2D:
     @pytest.mark.parametrize("grid", [(2, 2), (2, 4), (4, 2)])
     def test_matches_dense(self, grid):
