@@ -102,6 +102,23 @@ def bench_one(shape_a, shape_b, density, seed=0):
 
     t_scipy = _time_chained(lambda: a_sp @ b_sp)
 
+    # second external baseline: native Gustavson (Eigen-class, C++)
+    from sprs_tpu import native as st_native
+
+    t_native = None
+    if st_native.available():
+        t_native = _time_chained(
+            lambda: st_native.spgemm_host(
+                a_sp.indptr,
+                a_sp.indices,
+                a_sp.data,
+                b_sp.indptr,
+                b_sp.indices,
+                b_sp.data,
+                b_sp.shape[1],
+            )
+        )
+
     c_ref = a_sp @ b_sp
     out_cap = max(int(c_ref.nnz), 1)
     # exact capacities precomputed (host) so the device op is one compile
@@ -142,8 +159,12 @@ def bench_one(shape_a, shape_b, density, seed=0):
         nnz_b=int(b.nnz),
         nnz_c=int(c_ref.nnz),
         scipy_s=t_scipy,
+        native_gustavson_s=t_native,
         sprs_tpu_s=t_sprs,
         speedup_vs_scipy=t_scipy / t_sprs if t_sprs > 0 else None,
+        speedup_vs_native=(
+            t_native / t_sprs if t_native and t_sprs > 0 else None
+        ),
         equal=ok,
         backend=jax.default_backend(),
     )

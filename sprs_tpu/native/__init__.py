@@ -141,6 +141,30 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.POINTER(ctypes.c_int64),
         ]
         fn.restype = ctypes.c_int32
+    lib.sprs_spgemm_count.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+    ]
+    lib.sprs_spgemm_count.restype = ctypes.c_int64
+    lib.sprs_spgemm.argtypes = [
+        _I32P,
+        _I32P,
+        _F64P,
+        ctypes.c_int64,
+        _I32P,
+        _I32P,
+        _F64P,
+        ctypes.c_int64,
+        _I32P,
+        _I32P,
+        _F64P,
+    ]
+    lib.sprs_spgemm.restype = None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -413,3 +437,28 @@ def ic0_numeric(indptr, indices, vals):
     if rc != 0:
         raise ValueError(f"ic0 pivot failure at row {bad.value}")
     return out
+
+
+def spgemm_host(a_indptr, a_indices, a_data, b_indptr, b_indices,
+                b_data, n_cols):
+    """Gustavson two-phase CSR SpGEMM on the host (C++): the
+    Eigen-class second bench baseline (the reference times against
+    both scipy and Eigen, sprs-benches/src/main.rs:27-82).  Returns
+    (indptr, indices, data) with sorted columns, or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ap = np.ascontiguousarray(a_indptr, np.int32)
+    ai = np.ascontiguousarray(a_indices, np.int32)
+    av = np.ascontiguousarray(a_data, np.float64)
+    bp = np.ascontiguousarray(b_indptr, np.int32)
+    bi = np.ascontiguousarray(b_indices, np.int32)
+    bv = np.ascontiguousarray(b_data, np.float64)
+    n_rows = ap.shape[0] - 1
+    cp = np.zeros(n_rows + 1, np.int32)
+    nnz = lib.sprs_spgemm_count(ap, ai, n_rows, bp, bi, n_cols, cp)
+    ci = np.zeros(max(int(nnz), 1), np.int32)
+    cv = np.zeros(max(int(nnz), 1), np.float64)
+    lib.sprs_spgemm(ap, ai, av, n_rows, bp, bi, bv, n_cols, cp, ci, cv)
+    return cp, ci[: int(nnz)], cv[: int(nnz)]

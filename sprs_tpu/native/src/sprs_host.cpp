@@ -894,4 +894,76 @@ int32_t sprs_ic0(const int32_t* indptr, const int32_t* indices,
   return 0;
 }
 
+// Gustavson CSR SpGEMM, two-phase (symbolic count + numeric with a
+// dense accumulator row) — the same algorithm family as Eigen's
+// SparseMatrix product and the reference's SMMP
+// (/root/reference/sprs/src/sparse/smmp.rs:81-189).  Serves as the
+// second, Eigen-class external baseline in benches/spgemm_bench.py
+// (the reference benches against BOTH scipy and Eigen,
+// sprs-benches/src/main.rs:27-82).
+
+// Phase 1: per-row output nnz; fills c_indptr (n_rows+1), returns nnz(C).
+int64_t sprs_spgemm_count(const int32_t* a_indptr, const int32_t* a_indices,
+                          int64_t n_rows, const int32_t* b_indptr,
+                          const int32_t* b_indices, int64_t n_cols,
+                          int32_t* c_indptr) {
+  std::vector<int32_t> mark(static_cast<size_t>(n_cols), -1);
+  int64_t nnz = 0;
+  c_indptr[0] = 0;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    int64_t row_nnz = 0;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        int32_t j = b_indices[q];
+        if (mark[j] != static_cast<int32_t>(i)) {
+          mark[j] = static_cast<int32_t>(i);
+          ++row_nnz;
+        }
+      }
+    }
+    nnz += row_nnz;
+    c_indptr[i + 1] = static_cast<int32_t>(nnz);
+  }
+  return nnz;
+}
+
+// Phase 2: numeric pass; c_indptr from phase 1, writes sorted column
+// indices + values per row.
+void sprs_spgemm(const int32_t* a_indptr, const int32_t* a_indices,
+                 const double* a_vals, int64_t n_rows,
+                 const int32_t* b_indptr, const int32_t* b_indices,
+                 const double* b_vals, int64_t n_cols,
+                 const int32_t* c_indptr, int32_t* c_indices,
+                 double* c_vals) {
+  std::vector<double> acc(static_cast<size_t>(n_cols), 0.0);
+  std::vector<int32_t> mark(static_cast<size_t>(n_cols), -1);
+  std::vector<int32_t> cols;
+  cols.reserve(256);
+  for (int64_t i = 0; i < n_rows; ++i) {
+    cols.clear();
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      int32_t k = a_indices[p];
+      double av = a_vals[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        int32_t j = b_indices[q];
+        if (mark[j] != static_cast<int32_t>(i)) {
+          mark[j] = static_cast<int32_t>(i);
+          acc[j] = av * b_vals[q];
+          cols.push_back(j);
+        } else {
+          acc[j] += av * b_vals[q];
+        }
+      }
+    }
+    std::sort(cols.begin(), cols.end());
+    int32_t out = c_indptr[i];
+    for (int32_t j : cols) {
+      c_indices[out] = j;
+      c_vals[out] = acc[j];
+      ++out;
+    }
+  }
+}
+
 }  // extern "C"

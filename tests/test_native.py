@@ -257,3 +257,37 @@ class TestAmdOrdering:
         np.fill_diagonal(d, 2.0)
         p = np.asarray(camd_order(st.from_dense(d)).perm)
         assert np.array_equal(np.sort(p), np.arange(7))
+
+
+class TestNativeSpgemm:
+    """Gustavson C++ SpGEMM (the Eigen-class bench baseline) vs scipy."""
+
+    def test_matches_scipy(self):
+        import scipy.sparse as sp
+
+        from sprs_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(42)
+        for shape_a, shape_b, dens in [
+            ((50, 40), (40, 30), 0.1),
+            ((200, 150), (150, 180), 0.02),
+            ((64, 64), (64, 64), 0.0),  # empty operands
+        ]:
+            A = sp.random(*shape_a, density=dens, random_state=rng, format="csr")
+            B = sp.random(*shape_b, density=dens, random_state=rng, format="csr")
+            cp, ci, cv = native.spgemm_host(
+                A.indptr, A.indices, A.data,
+                B.indptr, B.indices, B.data, shape_b[1],
+            )
+            C = sp.csr_matrix(
+                (cv, ci[: cp[-1]], cp), shape=(shape_a[0], shape_b[1])
+            )
+            np.testing.assert_allclose(
+                C.toarray(), (A @ B).toarray(), rtol=1e-12, atol=0
+            )
+            # sorted-column CSR invariant
+            for i in range(shape_a[0]):
+                row = ci[cp[i] : cp[i + 1]]
+                assert np.all(np.diff(row) > 0) or row.size <= 1
