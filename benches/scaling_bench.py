@@ -71,6 +71,29 @@ def bench_n(n_dev: int, rows_per: int, iters: int):
         lambda v: dmat.assemble(dist_spmv(dmat, v, mesh, x_sharded=True))
     )
     t_ag = chain_time(f_ag, x, iters)
+
+    # per-device comm volume of each schedule (bytes received per SpMV)
+    itemsize = x.dtype.itemsize
+    halo_bytes = 2 * hmat.halo * itemsize  # two boundary slices
+    gather_bytes = (n_dev - 1) * (n // max(n_dev, 1)) * itemsize
+
+    # distributed SpGEMM comm plans: replicated-B vs all-gather vs
+    # referenced-block gather (the SURVEY §5.8 schedule)
+    from sprs_tpu.parallel import plan_b_gather
+
+    da = shard_csr_rows(lap, n_dev)
+    plan = plan_b_gather(da, da)
+    blk_bytes = da.cap_per_shard * (4 + itemsize) + 4 * (
+        da.rows_per_shard + 1
+    )
+    spgemm_comm = dict(
+        bgather_remote_blocks=plan.comm_blocks,
+        bgather_mean_blocks=round(plan.mean_blocks, 2),
+        allgather_remote_blocks=plan.full_blocks,
+        bgather_bytes_per_dev=plan.comm_blocks * blk_bytes,
+        allgather_bytes_per_dev=plan.full_blocks * blk_bytes,
+        comm_fraction=round(plan.comm_fraction, 4),
+    )
     return dict(
         n_devices=n_dev,
         rows=n,
@@ -78,6 +101,9 @@ def bench_n(n_dev: int, rows_per: int, iters: int):
         halo=hmat.halo,
         halo_s=t_halo,
         gather_s=t_ag,
+        halo_bytes_per_dev=halo_bytes,
+        gather_bytes_per_dev=gather_bytes,
+        spgemm_comm=spgemm_comm,
     )
 
 
