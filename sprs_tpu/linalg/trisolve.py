@@ -85,9 +85,11 @@ def diag_solve(mat: CsMat, b) -> jax.Array:
     return b / d
 
 
-def _row_window_width(mat: CsMat) -> int:
+def _row_window_width(mat: CsMat, window: Optional[int] = None) -> int:
     # pure numpy: jnp ops would stage tracers inside an enclosing trace
     # even on concrete arrays (cf. _host_diag_check)
+    if window is not None:
+        return max(min(window, mat.cap), 1)
     if is_concrete(mat.indptr):
         ip = np.asarray(mat.indptr)
         width = int(np.diff(ip).max()) if ip.shape[0] > 1 else 0
@@ -100,14 +102,20 @@ def _row_window_width(mat: CsMat) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _scan_solve_csr(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
+def _scan_solve_csr(
+    mat: CsMat, b: jax.Array, lower: bool, window: Optional[int] = None
+) -> jax.Array:
     """Row sweep: x[i] = (b[i] − Σ_{j≠i, stored, correct side} a_ij x_j)/a_ii.
 
     Entries on the wrong side of the diagonal are ignored, like the
-    reference kernels (trisolve.rs:30-73 docs).
+    reference kernels (trisolve.rs:30-73 docs).  ``window`` statically
+    bounds the per-row gather width under jit (otherwise the traced
+    path must assume ``cap`` — O(n·cap) work); a row wider than the
+    window NaN-poisons its solution component, consistent with the
+    under-jit singularity contract.
     """
     n = mat.shape[0]
-    w = _row_window_width(mat)
+    w = _row_window_width(mat, window)
     indptr, indices, data = mat.indptr, mat.indices, mat.data
     cap = mat.cap
 
@@ -125,6 +133,8 @@ def _scan_solve_csr(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
         contrib = jnp.where(in_row & side, val * x[idx], 0)
         diag = jnp.sum(jnp.where(in_row & (idx == i), val, 0))
         xi = (b[i] - jnp.sum(contrib)) / diag
+        # row wider than the static window: poison, don't truncate
+        xi = jnp.where(ln <= w, xi, jnp.asarray(jnp.nan, xi.dtype))
         return x.at[i].set(xi), None
 
     x0 = jnp.zeros_like(b)
@@ -132,11 +142,13 @@ def _scan_solve_csr(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
     return x
 
 
-def _scan_solve_csc(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
+def _scan_solve_csc(
+    mat: CsMat, b: jax.Array, lower: bool, window: Optional[int] = None
+) -> jax.Array:
     """Column sweep (scatter form, trisolve.rs:85-149): after computing
     x[j], subtract x[j]·A[:, j] from the running rhs."""
     n = mat.shape[0]
-    w = _row_window_width(mat)
+    w = _row_window_width(mat, window)
     indptr, indices, data = mat.indptr, mat.indices, mat.data
     cap = mat.cap
 
@@ -153,6 +165,7 @@ def _scan_solve_csc(mat: CsMat, b: jax.Array, lower: bool) -> jax.Array:
         in_col = (k >= off) & (k < off + ln)
         diag = jnp.sum(jnp.where(in_col & (idx == j), val, 0))
         xj = rhs[j] / diag
+        xj = jnp.where(ln <= w, xj, jnp.asarray(jnp.nan, xj.dtype))
         side = (idx > j) if lower else (idx < j)
         upd = jnp.where(in_col & side, val * xj, 0)
         rhs = rhs.at[idx].add(-upd, mode="drop")
@@ -266,14 +279,20 @@ def lsolve(
     *,
     method: str = "auto",
     schedule: Optional[TriSchedule] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Solve L x = b using the lower-triangular part of ``mat``.
 
     Covers lsolve_csr_dense_rhs / lsolve_csc_dense_rhs
     (trisolve.rs:30-149).  ``method``: "scan", "levels", or "auto"
     (levels when a schedule is given or the input is concrete).
+    ``window`` statically bounds the scan method's per-row width under
+    jit (without it a traced input costs O(n·cap)); rows wider than the
+    window NaN-poison their component.
     """
-    return _trisolve(mat, b, lower=True, method=method, schedule=schedule)
+    return _trisolve(
+        mat, b, lower=True, method=method, schedule=schedule, window=window
+    )
 
 
 def usolve(
@@ -282,19 +301,27 @@ def usolve(
     *,
     method: str = "auto",
     schedule: Optional[TriSchedule] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Solve U x = b using the upper-triangular part of ``mat``
     (usolve_csr/usolve_csc, trisolve.rs:161-262)."""
-    return _trisolve(mat, b, lower=False, method=method, schedule=schedule)
+    return _trisolve(
+        mat, b, lower=False, method=method, schedule=schedule, window=window
+    )
 
 
-def _trisolve(mat, b, *, lower, method, schedule):
+def _trisolve(mat, b, *, lower, method, schedule, window=None):
     _check_square(mat)
     b = _check_rhs(mat, b)
     _host_diag_check(mat)
     if b.ndim == 2:
         solve1 = lambda col: _trisolve(  # noqa: E731
-            mat, col, lower=lower, method=method, schedule=schedule
+            mat,
+            col,
+            lower=lower,
+            method=method,
+            schedule=schedule,
+            window=window,
         )
         return jax.vmap(solve1, in_axes=1, out_axes=1)(b)
 
@@ -314,8 +341,8 @@ def _trisolve(mat, b, *, lower, method, schedule):
         return _level_solve_csr(mat.to_csr(), b, schedule)
     if method == "scan":
         if mat.is_csr:
-            return _scan_solve_csr(mat, b, lower)
-        return _scan_solve_csc(mat, b, lower)
+            return _scan_solve_csr(mat, b, lower, window)
+        return _scan_solve_csc(mat, b, lower, window)
     raise ValueError(f"unknown trisolve method {method!r}")
 
 

@@ -468,3 +468,30 @@ class TestSupernodes:
             r = rows[s, : nrows[s]]
             assert np.all(r >= sn.ptr[s + 1])
             assert np.all(r < lap.shape[0])
+
+
+class TestTrisolveWindow:
+    """Static window bound for the scan method under jit."""
+
+    def test_window_solves_and_poisons(self):
+        rng = np.random.default_rng(5)
+        n = 12
+        d = np.tril(rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3))
+        np.fill_diagonal(d, 2.0)
+        m = st.from_dense(d)
+        w = int(np.diff(np.asarray(m.indptr)).max())
+        f = jax.jit(
+            lambda mat, b: st.linalg.lsolve(
+                mat, b, method="scan", window=w
+            )
+        )
+        b = rng.standard_normal(n)
+        x = np.asarray(f(m, b))
+        np.testing.assert_allclose(x, np.linalg.solve(d, b), rtol=1e-5)
+        # a too-small window NaN-poisons instead of silently truncating
+        g = jax.jit(
+            lambda mat, b: st.linalg.lsolve(
+                mat, b, method="scan", window=max(w - 1, 1)
+            )
+        )
+        assert np.isnan(np.asarray(g(m, b))).any()
