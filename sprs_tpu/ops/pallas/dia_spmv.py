@@ -269,6 +269,131 @@ def _dia_spmv_flatg(dflat, xg, offsets, blk, grp, interpret):
     )(dflat, xg)
 
 
+def _make_manual_kernel(offsets, blk, grp, depth, acc_dtype, n_tiles):
+    """Hand-pipelined flatg: ONE grid invocation, statically unrolled
+    supertile loop with ``depth``-deep explicit DMA buffering
+    (make_async_copy), instead of the automatic 2-deep BlockSpec
+    pipeline.  Tests the VERDICT hypothesis that manual DMA depth is
+    the lever past the flatg plateau: deeper buffering can hide
+    latency jitter the 2-deep auto pipeline stalls on (the tunnel-fed
+    HBM shows bursty service times).  Layouts are identical to flatg
+    (grouped flat data tiles; xg with a ``sup`` guard each side)."""
+    nd = len(offsets)
+    sup = grp * blk
+    xw = sup + 2 * blk
+
+    def kernel(dflat_hbm, xg_hbm, o_hbm):
+        def body(dat_s, x_s, y_s, dsem, xsem, ysem):
+            def dat_dma(slot, t):
+                return pltpu.make_async_copy(
+                    dflat_hbm.at[pl.ds(t * nd * sup, nd * sup)],
+                    dat_s.at[slot],
+                    dsem.at[slot],
+                )
+
+            def x_dma(slot, t):
+                return pltpu.make_async_copy(
+                    xg_hbm.at[pl.ds(t * sup + sup - blk, xw)],
+                    x_s.at[slot],
+                    xsem.at[slot],
+                )
+
+            def y_dma(slot, t):
+                return pltpu.make_async_copy(
+                    y_s.at[slot],
+                    o_hbm.at[pl.ds(t * sup, sup)],
+                    ysem.at[slot],
+                )
+
+            warm = min(depth, n_tiles)
+            for t in range(warm):
+                dat_dma(t, t).start()
+                x_dma(t, t).start()
+            for t in range(n_tiles):
+                slot = t % depth
+                if t >= depth:
+                    y_dma(slot, t - depth).wait()
+                dat_dma(slot, t).wait()
+                x_dma(slot, t).wait()
+                for g in range(grp):
+                    whole = x_s[slot, g * blk : (g + 3) * blk].reshape(
+                        1, 3 * blk
+                    )
+                    acc = jnp.zeros((1, blk), acc_dtype)
+                    for d, off in enumerate(offsets):
+                        xs = _window_slice(whole, blk, off)
+                        seg = dat_s[
+                            slot,
+                            (g * nd + d) * blk : (g * nd + d + 1) * blk,
+                        ]
+                        acc = acc + (seg.reshape(1, blk) * xs).astype(
+                            acc_dtype
+                        )
+                    y_s[slot, g * blk : (g + 1) * blk] = acc.reshape(
+                        blk
+                    ).astype(y_s.dtype)
+                y_dma(slot, t).start()
+                nxt = t + depth
+                if nxt < n_tiles:
+                    dat_dma(slot, nxt).start()
+                    x_dma(slot, nxt).start()
+            for t in range(max(n_tiles - depth, 0), n_tiles):
+                y_dma(t % depth, t).wait()
+
+        pl.run_scoped(
+            body,
+            dat_s=pltpu.VMEM((depth, nd * sup), dflat_dtype_holder[0]),
+            x_s=pltpu.VMEM((depth, xw), x_dtype_holder[0]),
+            y_s=pltpu.VMEM((depth, sup), out_dtype_holder[0]),
+            dsem=pltpu.SemaphoreType.DMA((depth,)),
+            xsem=pltpu.SemaphoreType.DMA((depth,)),
+            ysem=pltpu.SemaphoreType.DMA((depth,)),
+        )
+
+    # dtype holders are filled by the wrapper before tracing
+    dflat_dtype_holder = [None]
+    x_dtype_holder = [None]
+    out_dtype_holder = [None]
+    kernel._dtype_holders = (
+        dflat_dtype_holder,
+        x_dtype_holder,
+        out_dtype_holder,
+    )
+    return kernel
+
+
+def _dia_spmv_manual(dflat, xg, offsets, blk, grp, depth, interpret):
+    """Manual-DMA deep-buffered flatg twin (bench/experiment path; no
+    custom VJP — use flatg for training loops)."""
+    n_diags = len(offsets)
+    rows_blk = dflat.shape[0] // n_diags
+    sup = grp * blk
+    n_tiles = rows_blk // sup
+    out_dtype = jnp.promote_types(dflat.dtype, xg.dtype)
+    acc_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    kernel = _make_manual_kernel(
+        offsets, blk, grp, depth, acc_dtype, n_tiles
+    )
+    dh, xh, oh = kernel._dtype_holders
+    dh[0], xh[0], oh[0] = dflat.dtype, xg.dtype, out_dtype
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[any_spec, any_spec],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((rows_blk,), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_diags * rows_blk,
+            bytes_accessed=dflat.size * dflat.dtype.itemsize
+            + xg.size * xg.dtype.itemsize
+            + rows_blk * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        **_compiler_params(interpret),
+    )(dflat, xg)
+
+
 def _flatg_fwd(dflat, xg, offsets, blk, grp, interpret):
     return _dia_spmv_flatg(dflat, xg, offsets, blk, grp, interpret), (
         dflat,
@@ -642,7 +767,14 @@ class DiaTiledMat:
     def cols(self):
         return self.shape[1]
 
-    def spmv(self, x: jax.Array, *, interpret: bool = None) -> jax.Array:
+    def spmv(
+        self,
+        x: jax.Array,
+        *,
+        interpret: bool = None,
+        variant: str = "flatg",
+        depth: int = 3,
+    ) -> jax.Array:
         if interpret is None:
             # convenience surfaces (__matmul__, solver loops) work on
             # any backend; compiled Mosaic only exists on TPU
@@ -658,9 +790,14 @@ class DiaTiledMat:
         xg = jnp.zeros((rows_blk + 2 * sup,), x.dtype).at[
             sup : sup + self.cols
         ].set(x)
-        y = _dia_spmv_flatg(
-            self.dflat, xg, self.offsets, blk, grp, interpret
-        )
+        if variant == "manual":
+            y = _dia_spmv_manual(
+                self.dflat, xg, self.offsets, blk, grp, depth, interpret
+            )
+        else:
+            y = _dia_spmv_flatg(
+                self.dflat, xg, self.offsets, blk, grp, interpret
+            )
         return y[: self.rows]
 
     def __matmul__(self, x):

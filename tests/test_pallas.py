@@ -390,6 +390,22 @@ class TestDia:
                 np.asarray(y), d @ x, rtol=1e-4, atol=1e-4
             )
 
+    def test_dia_tiled_manual_variant(self):
+        """Hand-pipelined DMA twin of flatg: bit-parity at several
+        depths, including depth > n_tiles (warm-up clamp)."""
+        from sprs_tpu.ops.pallas import dia_tile
+
+        d = banded_dense(6000, self.OFFS, seed=35)
+        dia = st.from_dense(d).to_dia()
+        x = RNG.standard_normal(6000).astype(np.float32)
+        tiled = dia_tile(dia, blk=1024, grp=2)
+        y_ref = np.asarray(tiled.spmv(x, interpret=True))
+        for depth in (1, 2, 3, 8):
+            y = np.asarray(
+                tiled.spmv(x, interpret=True, variant="manual", depth=depth)
+            )
+            np.testing.assert_array_equal(y, y_ref)
+
     def test_pallas_flatg_variant(self):
         d = banded_dense(5000, self.OFFS, seed=34)
         dia = st.from_dense(d).to_dia()
