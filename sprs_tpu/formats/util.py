@@ -172,6 +172,11 @@ def compress_coo(
         for v in value_channels
     ]
 
+    # Sorts are UNSTABLE (is_stable=False): stability would only fix
+    # the relative order of equal (row, col) keys, and every consumer
+    # reduces equal keys by a commutative duplicate-sum — the only
+    # observable difference is fp summation order among >=3 duplicates.
+    # A stable TPU sort pays for an extra tie-break iota operand.
     # Pack (row, col) into one integer key when the index space fits:
     # a 1-key sort carries fewer operands through the network, and the
     # halves are recovered with a divide-by-constant (multiply-shift
@@ -182,7 +187,9 @@ def compress_coo(
     first = None
     if (n_outer + 1) * n_inner_c < 2**31:
         key = srows * jnp.int32(n_inner_c) + scols
-        sorted_ops = jax.lax.sort((key, *svals), num_keys=1)
+        sorted_ops = jax.lax.sort(
+            (key, *svals), num_keys=1, is_stable=False
+        )
         k = sorted_ops[0]
         r = jnp.minimum(k // jnp.int32(n_inner_c), n_outer)
         c = k - (k // jnp.int32(n_inner_c)) * jnp.int32(n_inner_c)
@@ -196,7 +203,9 @@ def compress_coo(
         key = srows.astype(jnp.int64) * n_inner_c + scols.astype(
             jnp.int64
         )
-        sorted_ops = jax.lax.sort((key, *svals), num_keys=1)
+        sorted_ops = jax.lax.sort(
+            (key, *svals), num_keys=1, is_stable=False
+        )
         k = sorted_ops[0]
         r = jnp.minimum((k // n_inner_c).astype(INDEX_DTYPE), n_outer)
         c = (k % n_inner_c).astype(INDEX_DTYPE)
@@ -205,7 +214,9 @@ def compress_coo(
             [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
         )
     else:
-        sorted_ops = jax.lax.sort((srows, scols, *svals), num_keys=2)
+        sorted_ops = jax.lax.sort(
+            (srows, scols, *svals), num_keys=2, is_stable=False
+        )
         r, c = sorted_ops[0], sorted_ops[1]
         vs = sorted_ops[2:]
 
