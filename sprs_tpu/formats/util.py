@@ -128,6 +128,57 @@ class CompressedCoo(NamedTuple):
     required_nnz: jax.Array
 
 
+def _sorted_key_vals(key, svals, sort_batches, pad_key):
+    """Sort (key, *svals) by key — flat, or batched per host-declared
+    segment (see :func:`compress_coo` ``sort_batches``).  Returns
+    (sorted key, sorted vals, first-of-group flags, interspersed_pads).
+    """
+    if sort_batches is None:
+        sorted_ops = jax.lax.sort(
+            (key, *svals), num_keys=1, is_stable=False
+        )
+        k = sorted_ops[0]
+        first = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
+        )
+        return k, sorted_ops[1:], first, False
+
+    import numpy as np
+
+    starts, lens = sort_batches
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    C = starts.shape[0]
+    L = int(lens.max()) if C else 1
+    L = max(L, 1)
+    starts_d = jnp.asarray(starts, dtype=INDEX_DTYPE)
+    lens_d = jnp.asarray(lens, dtype=INDEX_DTYPE)
+
+    def seg_slice(arr, fill):
+        ext = jnp.concatenate(
+            [arr, jnp.full((L,), fill, dtype=arr.dtype)]
+        )
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(ext, (s,), (L,))
+        )(starts_d)
+
+    pad = jnp.arange(L, dtype=INDEX_DTYPE)[None, :] >= lens_d[:, None]
+    key2 = jnp.where(pad, pad_key, seg_slice(key, pad_key))
+    val2 = [
+        jnp.where(pad, jnp.zeros((), v.dtype), seg_slice(v, 0))
+        for v in svals
+    ]
+    sorted_ops = jax.lax.sort(
+        (key2, *val2), num_keys=1, is_stable=False, dimension=1
+    )
+    k = sorted_ops[0].reshape(-1)
+    vs = [s.reshape(-1) for s in sorted_ops[1:]]
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
+    )
+    return k, vs, first, True
+
+
 def compress_coo(
     rows: jax.Array,
     cols: jax.Array,
@@ -136,6 +187,7 @@ def compress_coo(
     n_outer: int,
     n_inner: int,
     out_cap: int,
+    sort_batches=None,
 ) -> CompressedCoo:
     """Sort-and-deduplicate COO entries into CSR-ordered arrays.
 
@@ -147,6 +199,18 @@ def compress_coo(
 
     Multiple value channels ride the same sort so callers (e.g. binary
     ops) can segregate lhs/rhs contributions in one pass.
+
+    ``sort_batches``: optional host-side ``(starts, lens)`` int arrays
+    describing C contiguous input segments such that no (row, col) key
+    appears in two segments (e.g. SpGEMM product chunks split at A-row
+    boundaries).  The sort then runs as ONE batched (C, L) ``lax.sort``
+    over independently sorted segments — a bitonic network over length-L
+    rows is ~(log L / log N)^2 of the comparator depth of one flat
+    length-N sort.  Segment pads sort to each segment's end, so the
+    flattened result has interspersed padding; the compaction scatters
+    below are pad-tolerant (min/add with zeroed pad contributions).
+    Only honored on the packed-key paths; ignored for the 2-key
+    fallback.
     """
     cap = rows.shape[0]
     n_ch = len(value_channels)
@@ -185,34 +249,29 @@ def compress_coo(
     # 3-operand 2-key sort as the >2^63 fallback.
     n_inner_c = max(n_inner, 1)
     first = None
+    interspersed = False
     if (n_outer + 1) * n_inner_c < 2**31:
         key = srows * jnp.int32(n_inner_c) + scols
-        sorted_ops = jax.lax.sort(
-            (key, *svals), num_keys=1, is_stable=False
+        key, svals, first, interspersed = _sorted_key_vals(
+            key, svals, sort_batches, jnp.int32(2**31 - 1)
         )
-        k = sorted_ops[0]
+        k = key
         r = jnp.minimum(k // jnp.int32(n_inner_c), n_outer)
         c = k - (k // jnp.int32(n_inner_c)) * jnp.int32(n_inner_c)
-        vs = sorted_ops[1:]
-        first = jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
-        )
+        vs = svals
     elif (n_outer + 1) * n_inner_c < 2**63 and jax.config.jax_enable_x64:
         # without x64, astype(int64) silently truncates to i32 and the
         # packed key would alias — use the 2-key sort instead
         key = srows.astype(jnp.int64) * n_inner_c + scols.astype(
             jnp.int64
         )
-        sorted_ops = jax.lax.sort(
-            (key, *svals), num_keys=1, is_stable=False
+        key, svals, first, interspersed = _sorted_key_vals(
+            key, svals, sort_batches, jnp.int64(2**63 - 1)
         )
-        k = sorted_ops[0]
+        k = key
         r = jnp.minimum((k // n_inner_c).astype(INDEX_DTYPE), n_outer)
         c = (k % n_inner_c).astype(INDEX_DTYPE)
-        vs = sorted_ops[1:]
-        first = jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), k[1:] != k[:-1]]
-        )
+        vs = svals
     else:
         sorted_ops = jax.lax.sort(
             (srows, scols, *svals), num_keys=2, is_stable=False
@@ -236,19 +295,25 @@ def compress_coo(
     # second reduction pass over the array
     required = gid[-1] + 1
 
-    # Every LIVE entry writes its column at its group slot: duplicates
-    # of a group share the same column value, so repeated writes are
-    # harmless, and live entries are a sorted prefix — the scatter
-    # indices are non-decreasing (cheaper lowering than the old
-    # unique-only scatter whose sentinel gaps broke sortedness).
-    # (sentinel = INT32_MAX, not out_cap: when required_nnz overflows
-    # out_cap the live gids exceed out_cap and a smaller sentinel would
-    # break the monotonicity the flag promises)
-    scatter_idx = jnp.where(live_sorted, gid, jnp.int32(2**31 - 1))
+    # Every LIVE entry writes its column at its group slot via a
+    # scatter-MIN at gid: duplicates of a group share the column, pads
+    # contribute INT-MAX (a no-op against any live write), and gid is
+    # non-decreasing for EVERY entry — live or pad, flat or batched —
+    # so the sortedness hint always holds (the old where(live, gid,
+    # sentinel) + set form lost it for batched sorts, whose pads are
+    # interspersed at segment ends).
     out_indices = (
-        jnp.zeros((out_cap,), dtype=INDEX_DTYPE)
-        .at[scatter_idx]
-        .set(c, mode="drop", indices_are_sorted=True)
+        jnp.full((out_cap,), 2**31 - 1, dtype=INDEX_DTYPE)
+        .at[gid]
+        .min(
+            jnp.where(live_sorted, c, jnp.int32(2**31 - 1)),
+            mode="drop",
+            indices_are_sorted=True,
+        )
+    )
+    nnz = jnp.minimum(required, out_cap).astype(INDEX_DTYPE)
+    out_indices = jnp.where(
+        positions(out_cap) < nnz, out_indices, 0
     )
     out_vals = tuple(
         jnp.zeros((out_cap,), dtype=v.dtype)
@@ -256,11 +321,13 @@ def compress_coo(
         .add(v, mode="drop", indices_are_sorted=True)
         for v in vs
     )
-    # Entries whose group id overflowed out_cap were dropped above; clamp
-    # the reported nnz accordingly.
-    nnz = jnp.minimum(required, out_cap).astype(INDEX_DTYPE)
+    # Entries whose group id overflowed out_cap were dropped above; the
+    # reported nnz (clamped above) reflects that.
     indptr = indptr_from_rows(
-        r, unique & (gid < out_cap), n_outer, rows_sorted=True
+        r,
+        unique & (gid < out_cap),
+        n_outer,
+        rows_sorted=not interspersed,
     )
     return CompressedCoo(
         indptr=indptr,

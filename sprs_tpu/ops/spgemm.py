@@ -201,6 +201,51 @@ def _exact_prod_count(a: CsMat, b: CsMat) -> int:
 # analog of the reference's nnz-balanced row chunking (smmp.rs:335-372).
 CHUNK_PRODUCT_BUDGET = 32 * 1024 * 1024
 
+# Batched segment sort (compress_coo sort_batches): split the product
+# array at A-row boundaries into ~SORT_BATCH_TARGET-sized segments and
+# sort them as one (C, L) batched lax.sort — the comparator-network
+# depth scales (log L)^2 instead of (log N)^2.  Only worth it past a
+# minimum size.
+SORT_BATCH_MIN = 1 << 21
+SORT_BATCH_TARGET = 1 << 19
+
+
+def spgemm_sort_batches(a: CsMat, b: CsMat, target: int = None):
+    """Host-side (starts, lens) product segments for the batched sort.
+
+    Segments are split at A-row product boundaries (so no (row, col)
+    key straddles two segments) and balanced by product count.  Returns
+    None when the product count is too small to benefit.  Pass the
+    result to :func:`spgemm` as a static argument when calling under
+    jit (the host arrays embed as constants).
+    """
+    import numpy as np
+
+    if target is None:
+        target = SORT_BATCH_TARGET
+    nnz_a = int(a.nnz)
+    indptr = np.asarray(a.indptr)
+    idx = np.asarray(a.indices)[:nnz_a]
+    b_lens = np.diff(np.asarray(b.to_csr().indptr))
+    per_entry = b_lens[idx] if nnz_a else np.zeros((0,), np.int64)
+    entry_prefix = np.concatenate([[0], np.cumsum(per_entry)])
+    row_prefix = entry_prefix[np.minimum(indptr, nnz_a)]
+    total = int(row_prefix[-1])
+    if total < SORT_BATCH_MIN:
+        return None
+    starts, r0 = [], 0
+    n_rows = a.rows
+    while r0 < n_rows:
+        starts.append(int(row_prefix[r0]))
+        r1 = int(
+            np.searchsorted(row_prefix, row_prefix[r0] + target, "right")
+            - 1
+        )
+        r0 = min(max(r1, r0 + 1), n_rows)
+    starts = np.asarray(starts, np.int64)
+    lens = np.diff(np.concatenate([starts, [total]]))
+    return starts, lens
+
 
 def _spgemm_chunked(a: CsMat, b: CsMat, budget: int) -> CsMat:
     """Row-chunked ESC SpGEMM for product counts beyond one sort's
@@ -338,6 +383,7 @@ def spgemm(
     out_cap: Optional[int] = None,
     prod_cap: Optional[int] = None,
     check_capacity: bool = True,
+    sort_batches=None,
 ) -> CsMat:
     """C = A @ B for sparse A, B.
 
@@ -345,6 +391,8 @@ def spgemm(
     is tightly packed.  Under jit, ``prod_cap`` (and optionally
     ``out_cap``, defaulting to ``prod_cap``) must be given; overflow
     truncates and is reported via host check when ``check_capacity``.
+    ``sort_batches``: host segments from :func:`spgemm_sort_batches`
+    (auto-computed on large concrete inputs) — batches the ESC sort.
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")
@@ -369,6 +417,8 @@ def spgemm(
         if exact > CHUNK_PRODUCT_BUDGET:
             return _spgemm_chunked(a, b, CHUNK_PRODUCT_BUDGET)
         prod_cap = max(exact, 1)
+        if sort_batches is None and exact >= SORT_BATCH_MIN:
+            sort_batches = spgemm_sort_batches(a, b)
     rows, cols, vals, total = _expand_products(a, b, prod_cap)
 
     cap0 = out_cap if out_cap is not None else prod_cap
@@ -380,6 +430,7 @@ def spgemm(
         n_outer=a.rows,
         n_inner=b.cols,
         out_cap=cap0,
+        sort_batches=sort_batches,
     )
     c = CsMat(res.indptr, res.indices, res.values[0], (a.rows, b.cols), "csr")
     if concrete and check_capacity:

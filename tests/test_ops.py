@@ -458,3 +458,70 @@ class TestBlockDiag:
         ref = sp.block_diag([sp.csr_matrix(b) for b in blocks]).toarray()
         np.testing.assert_allclose(np.asarray(got.to_dense()), ref)
         got.check_structure()
+
+
+class TestSpgemmBatchedSort:
+    """compress_coo sort_batches: segment-batched ESC sort."""
+
+    def _pair(self, seed=0, da=0.03, db=0.03):
+        import scipy.sparse as sp
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        A = sp.random(300, 250, density=da, random_state=rng, format="csr")
+        B = sp.random(250, 280, density=db, random_state=rng, format="csr")
+        mk = lambda M: st.CsMat(
+            jnp.asarray(M.indptr.astype(np.int32)),
+            jnp.asarray(M.indices.astype(np.int32)),
+            jnp.asarray(M.data),
+            M.shape,
+            "csr",
+        )
+        return mk(A), mk(B), (A @ B).toarray()
+
+    def test_matches_flat_sort(self):
+        import sprs_tpu.ops.spgemm as _m
+        from importlib import import_module
+
+        sg = import_module("sprs_tpu.ops.spgemm")
+        a, b, ref = self._pair()
+        old = sg.SORT_BATCH_MIN
+        sg.SORT_BATCH_MIN = 1
+        try:
+            for target in (128, 1000, 10**9):
+                batches = sg.spgemm_sort_batches(a, b, target=target)
+                c = sg.spgemm(a, b, sort_batches=batches)
+                np.testing.assert_allclose(
+                    np.asarray(c.to_dense()), ref, rtol=1e-10, atol=1e-12
+                )
+        finally:
+            sg.SORT_BATCH_MIN = old
+
+    def test_jit_static_batches(self):
+        import functools
+        from importlib import import_module
+
+        sg = import_module("sprs_tpu.ops.spgemm")
+        a, b, ref = self._pair(seed=3)
+        old = sg.SORT_BATCH_MIN
+        sg.SORT_BATCH_MIN = 1
+        try:
+            batches = sg.spgemm_sort_batches(a, b, target=700)
+            exact = sg._exact_prod_count(a, b)
+            out_cap = int((ref != 0).sum())
+            f = jax.jit(
+                functools.partial(
+                    sg.spgemm,
+                    prod_cap=exact,
+                    out_cap=out_cap,
+                    check_capacity=False,
+                    sort_batches=batches,
+                )
+            )
+            c = f(a, b)
+            np.testing.assert_allclose(
+                np.asarray(c.to_dense()), ref, rtol=1e-10, atol=1e-12
+            )
+        finally:
+            sg.SORT_BATCH_MIN = old
