@@ -172,3 +172,64 @@ def test_bsr_conversion_vs_dense(seed):
         np.testing.assert_allclose(
             np.asarray(b.to_dense()), d, rtol=1e-10
         )
+
+
+@pytest.mark.parametrize("seed", CASES[:8])
+def test_spgemm_batched_sort_vs_flat(seed):
+    """Batched segment sort (random targets) bit-matches scipy."""
+    from importlib import import_module
+
+    sg = import_module("sprs_tpu.ops.spgemm")
+    rng = np.random.default_rng(100 + seed)
+    r = int(rng.integers(5, 120))
+    k = int(rng.integers(5, 120))
+    c = int(rng.integers(5, 120))
+    da = rng.standard_normal((r, k))
+    da[rng.random((r, k)) > 0.2] = 0.0
+    db = rng.standard_normal((k, c))
+    db[rng.random((k, c)) > 0.2] = 0.0
+    a = st.from_dense(da)
+    b = st.from_dense(db)
+    target = int(rng.integers(1, 200))
+    old = sg.SORT_BATCH_MIN
+    sg.SORT_BATCH_MIN = 1
+    try:
+        batches = sg.spgemm_sort_batches(a, b, target=target)
+        out = sg.spgemm(a, b, sort_batches=batches)
+    finally:
+        sg.SORT_BATCH_MIN = old
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()), da @ db, rtol=1e-5, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("seed", CASES[:4])
+def test_dist_spgemm_bgather_fuzz(seed):
+    """bgather schedule vs dense oracle on random sparsity."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sprs_tpu.parallel import (
+        dist_spgemm_bgather,
+        plan_b_gather,
+        shard_csr_rows,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(8, 60))
+    m = int(rng.integers(8, 60))
+    da = rng.standard_normal((n, m))
+    da[rng.random((n, m)) > 0.15] = 0.0
+    db = rng.standard_normal((m, n))
+    db[rng.random((m, n)) > 0.15] = 0.0
+    A = shard_csr_rows(st.from_dense(da), 4)
+    B = shard_csr_rows(st.from_dense(db), 4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shards",))
+    out = dist_spgemm_bgather(
+        A, B, mesh, plan=plan_b_gather(A, B)
+    ).to_csmat()
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+    )
