@@ -70,6 +70,40 @@ def chain_time_best(
     return best
 
 
+def fori_chain_time(
+    step2: Callable,
+    operand,
+    x0,
+    inner: int = 32,
+    rounds: int = 3,
+) -> float:
+    """Per-iteration seconds with ``inner`` chained steps fused into ONE
+    dispatch via ``lax.fori_loop``.
+
+    Host-side chains (:func:`chain_time`) pay the tunnel's per-DISPATCH
+    latency once per iteration, which swamps sub-millisecond kernels.
+    Fusing the chain inside a single jitted ``fori_loop`` amortizes that
+    floor over ``inner`` kernel executions and measures true device
+    time.  ``step2(operand, y) -> y`` must be shape-preserving in ``y``;
+    ``operand`` (e.g. the matrix pytree) is passed as an ARGUMENT — never
+    close over large arrays (they embed as HLO constants and balloon the
+    remote compile payload)."""
+
+    @jax.jit
+    def run(m, x):
+        return jax.lax.fori_loop(0, inner, lambda i, y: step2(m, y), x)
+
+    y = run(operand, x0)
+    _ = _fetch_scalar(y)  # compile + settle
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        y = run(operand, x0)
+        _ = _fetch_scalar(y)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
 def measure_peak_bandwidth(nbytes: int = 1 << 29, iters: int = 30) -> float:
     """Achievable streaming GB/s of a fused a*x+b over ``nbytes``."""
     n = nbytes // 4
