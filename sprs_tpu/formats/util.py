@@ -179,6 +179,62 @@ def _sorted_key_vals(key, svals, sort_batches, pad_key):
     return k, vs, first, True
 
 
+def _compress_from_sorted_key(k, svals, first, n_outer, n_inner_c, out_cap):
+    """Compress a SORTED packed-key stream into CSR arrays.
+
+    One cap-sized scatter carries the packed KEY per duplicate group
+    (scatter-min at the group id); the column indices, row ids, and the
+    indptr histogram are all recovered from the compacted ``out_cap``
+    keys afterwards.  Compared with scattering columns and histogramming
+    rows from the cap-sized stream, this deletes one full cap-sized
+    scatter pass and moves the row histogram to ``out_cap``-sized work
+    (``out_cap`` << cap in SpGEMM, where duplicates are the point).
+
+    Correctness of the key scatter without masking pads: sentinel rows
+    pack to ``n_outer*n_inner`` and batched-segment pads to INT-MAX —
+    both >= every live key — and pads never start a group (``unique``
+    requires liveness), so a pad's min-write into the preceding live
+    group always loses.  Leading pads carry gid=-1 (out of range,
+    dropped).  The compacted keys are non-decreasing (groups ascend,
+    untouched slots keep INT-MAX), so every downstream scatter keeps the
+    ``indices_are_sorted`` fast path regardless of batched-sort pad
+    interspersal.
+    """
+    sentinel = jnp.asarray(n_outer * n_inner_c, k.dtype)
+    live_sorted = k < sentinel
+    unique = first & live_sorted
+    gid = jnp.cumsum(unique.astype(INDEX_DTYPE)) - 1
+    required = gid[-1] + 1
+    fill = jnp.iinfo(k.dtype).max
+    key_out = (
+        jnp.full((out_cap,), fill, dtype=k.dtype)
+        .at[gid]
+        .min(k, mode="drop", indices_are_sorted=True)
+    )
+    nnz = jnp.minimum(required, out_cap).astype(INDEX_DTYPE)
+    r_out = key_out // n_inner_c  # >= n_outer for INT-MAX fill slots
+    c_out = (key_out - r_out * n_inner_c).astype(INDEX_DTYPE)
+    out_indices = jnp.where(positions(out_cap) < nnz, c_out, 0)
+    out_vals = tuple(
+        jnp.zeros((out_cap,), dtype=v.dtype)
+        .at[gid]
+        .add(v, mode="drop", indices_are_sorted=True)
+        for v in svals
+    )
+    counts = (
+        jnp.zeros((n_outer,), dtype=INDEX_DTYPE)
+        .at[r_out]
+        .add(1, mode="drop", indices_are_sorted=True)
+    )
+    return CompressedCoo(
+        indptr=indptr_from_row_counts(counts),
+        indices=out_indices,
+        values=out_vals,
+        nnz=nnz,
+        required_nnz=required,
+    )
+
+
 def compress_coo(
     rows: jax.Array,
     cols: jax.Array,
@@ -248,36 +304,33 @@ def compress_coo(
     # still sort last.  i32 when (n_outer+1)*n_inner < 2^31, else i64;
     # 3-operand 2-key sort as the >2^63 fallback.
     n_inner_c = max(n_inner, 1)
-    first = None
-    interspersed = False
     if (n_outer + 1) * n_inner_c < 2**31:
         key = srows * jnp.int32(n_inner_c) + scols
-        key, svals, first, interspersed = _sorted_key_vals(
+        key, svals, first, _ = _sorted_key_vals(
             key, svals, sort_batches, jnp.int32(2**31 - 1)
         )
-        k = key
-        r = jnp.minimum(k // jnp.int32(n_inner_c), n_outer)
-        c = k - (k // jnp.int32(n_inner_c)) * jnp.int32(n_inner_c)
-        vs = svals
-    elif (n_outer + 1) * n_inner_c < 2**63 and jax.config.jax_enable_x64:
+        return _compress_from_sorted_key(
+            key, svals, first, n_outer, n_inner_c, out_cap
+        )
+    if (n_outer + 1) * n_inner_c < 2**63 and jax.config.jax_enable_x64:
         # without x64, astype(int64) silently truncates to i32 and the
         # packed key would alias — use the 2-key sort instead
         key = srows.astype(jnp.int64) * n_inner_c + scols.astype(
             jnp.int64
         )
-        key, svals, first, interspersed = _sorted_key_vals(
+        key, svals, first, _ = _sorted_key_vals(
             key, svals, sort_batches, jnp.int64(2**63 - 1)
         )
-        k = key
-        r = jnp.minimum((k // n_inner_c).astype(INDEX_DTYPE), n_outer)
-        c = (k % n_inner_c).astype(INDEX_DTYPE)
-        vs = svals
-    else:
-        sorted_ops = jax.lax.sort(
-            (srows, scols, *svals), num_keys=2, is_stable=False
+        return _compress_from_sorted_key(
+            key, svals, first, n_outer, n_inner_c, out_cap
         )
-        r, c = sorted_ops[0], sorted_ops[1]
-        vs = sorted_ops[2:]
+    first = None
+    interspersed = False
+    sorted_ops = jax.lax.sort(
+        (srows, scols, *svals), num_keys=2, is_stable=False
+    )
+    r, c = sorted_ops[0], sorted_ops[1]
+    vs = sorted_ops[2:]
 
     live_sorted = r < n_outer
     if first is None:
