@@ -126,6 +126,36 @@ def bench_one(shape_a, shape_b, density, seed=0):
 
     sg = importlib.import_module("sprs_tpu.ops.spgemm")
 
+    # densified-MXU path (ops/spgemm.py::spgemm_dense): at the sweep's
+    # upper densities the dense matmul regime wins on TPU; time it
+    # whenever the dense temporaries fit.
+    m, k = shape_a
+    n = shape_b[1]
+    dense_fits = (m * k + k * n + m * n) * 4 <= (
+        sg.DENSE_BYTES_BUDGET
+        if jax.default_backend() == "tpu"
+        else 1 << 29
+    )
+    t_dense = None
+    dense_ok = None
+    if dense_fits:
+        f_dense = jax.jit(
+            lambda a, b: st.spgemm_dense(a, b, out_cap=out_cap)
+        )
+        c_d = f_dense(a, b)
+        t_dense = _time_device_chained(
+            jax.jit(_dependency_step(f_dense)), a, b
+        )
+        if m * n <= 1e7:
+            dense_ok = bool(
+                np.allclose(
+                    np.asarray(c_d.to_dense()),
+                    c_ref.toarray(),
+                    rtol=1e-4,
+                    atol=1e-5,
+                )
+            )
+
     prod_cap = max(sg._exact_prod_count(a, b.to_csr()), 1)
     # 140M partial products crashed the v5e worker (7-channel lax.sort);
     # 5.6M ran fine.  Stay well under the cliff.
@@ -135,6 +165,14 @@ def bench_one(shape_a, shape_b, density, seed=0):
             shape_a=list(shape_a),
             shape_b=list(shape_b),
             density=density,
+            nnz_c=int(c_ref.nnz),
+            scipy_s=t_scipy,
+            native_gustavson_s=t_native,
+            dense_mxu_s=t_dense,
+            dense_equal=dense_ok,
+            dense_speedup_vs_scipy=(
+                t_scipy / t_dense if t_dense else None
+            ),
             skipped=f"partial products {prod_cap} exceed budget {budget:g}",
         )
     f = jax.jit(
@@ -161,11 +199,16 @@ def bench_one(shape_a, shape_b, density, seed=0):
         scipy_s=t_scipy,
         native_gustavson_s=t_native,
         sprs_tpu_s=t_sprs,
+        dense_mxu_s=t_dense,
         speedup_vs_scipy=t_scipy / t_sprs if t_sprs > 0 else None,
         speedup_vs_native=(
             t_native / t_sprs if t_native and t_sprs > 0 else None
         ),
+        dense_speedup_vs_scipy=(
+            t_scipy / t_dense if t_dense else None
+        ),
         equal=ok,
+        dense_equal=dense_ok,
         backend=jax.default_backend(),
     )
 

@@ -54,6 +54,7 @@ from .ops import (
     permute_cols,
     permute_rows,
     spgemm,
+    spgemm_dense,
     spmm,
     spmv,
     sub,

@@ -36,6 +36,7 @@ from .util import (
     INDEX_DTYPE,
     check_index_capacity,
     compress_coo,
+    indptr_from_row_counts,
     is_concrete,
     row_ids_from_indptr,
     valid_mask,
@@ -917,6 +918,13 @@ def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
 
     Entries with |a_ij| > eps are kept.  On concrete inputs the capacity
     defaults to the exact nnz; traced inputs must pass ``cap``.
+
+    Sort-free: a dense array is already in row-major (outer, inner)
+    order, so the kept entries compact with one cumsum + one sorted
+    scatter — no ``lax.sort``.  This matters at scale: a single device
+    sort above ~10^8 elements crashes the TPU worker, while the cumsum
+    path handles the 225M-element dense results of the densified-MXU
+    SpGEMM route (ops/spgemm.py::spgemm_dense).
     """
     arr = jnp.asarray(arr)
     if arr.ndim != 2:
@@ -931,23 +939,39 @@ def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
         else:
             cap = max(n_outer * n_inner, 1)
     flat_keep = keep.reshape(-1)
-    rows = (
-        jnp.arange(n_outer * n_inner, dtype=INDEX_DTYPE) // max(n_inner, 1)
+    total = n_outer * n_inner
+    # Flat row-major order is already (row, col)-sorted; compact kept
+    # entries by destination slot (prefix count).  Every element
+    # scatters (non-kept ones masked to zero contributions) so the
+    # index stream stays non-decreasing: a non-kept element carries the
+    # gid of the last kept element before it and adds 0 there; leading
+    # non-kept elements carry gid=-1 (out of range, dropped).  This
+    # preserves the ``indices_are_sorted`` fast path, which a
+    # where(keep, gid, cap) marker would break.
+    gid = jnp.cumsum(flat_keep.astype(INDEX_DTYPE)) - 1
+    nnz = jnp.minimum(gid[-1] + 1, cap).astype(INDEX_DTYPE)
+    cols = jnp.arange(total, dtype=INDEX_DTYPE) % max(n_inner, 1)
+    indices = (
+        jnp.zeros((cap,), INDEX_DTYPE)
+        .at[gid]
+        .add(
+            jnp.where(flat_keep, cols, 0),
+            mode="drop",
+            indices_are_sorted=True,
+        )
     )
-    cols = jnp.arange(n_outer * n_inner, dtype=INDEX_DTYPE) % max(n_inner, 1)
-    vals = a.reshape(-1)
-    # compress with invalid entries pushed out by sentinel rows
-    rows = jnp.where(flat_keep, rows, n_outer)
-    res = compress_coo(
-        rows=rows,
-        cols=cols,
-        value_channels=(jnp.where(flat_keep, vals, 0),),
-        nvalid=n_outer * n_inner,
-        n_outer=n_outer,
-        n_inner=n_inner,
-        out_cap=cap,
+    data = (
+        jnp.zeros((cap,), a.dtype)
+        .at[gid]
+        .add(
+            jnp.where(flat_keep, a.reshape(-1), 0),
+            mode="drop",
+            indices_are_sorted=True,
+        )
     )
-    return CsMat(res.indptr, res.indices, res.values[0], (r, c), storage)
+    counts = jnp.sum(keep, axis=1, dtype=INDEX_DTYPE)
+    indptr = jnp.minimum(indptr_from_row_counts(counts), nnz)
+    return CsMat(indptr, indices, data, (r, c), storage)
 
 
 def from_scipy(m, *, storage: Optional[str] = None, cap=None) -> CsMat:

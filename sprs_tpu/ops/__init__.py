@@ -34,7 +34,7 @@ from .permutation import (
     transform_mat_paq,
 )
 from .prod import dense_matmul_sparse, prepare_spmm, prepare_spmv, spmm, spmv
-from .spgemm import spgemm
+from .spgemm import spgemm, spgemm_dense
 from .symmetry import is_symmetric
 from . import pallas
 
@@ -49,6 +49,7 @@ __all__ = [
     "prepare_spmm",
     "prepare_spmv",
     "spgemm",
+    "spgemm_dense",
     "dense_matmul_sparse",
     "csmat_binop",
     "mul_elementwise",

@@ -443,3 +443,86 @@ def spgemm(
             # tighten to the exact nnz for eager callers
             c = c.with_cap(max(required, 1))
     return c
+
+
+# ---------------------------------------------------------------------------
+# densified MXU path
+# ---------------------------------------------------------------------------
+
+# Dense temporaries budget for the one-shot densified product; beyond it
+# A (and C) are row-chunked.  Leaves headroom on a 16 GB-HBM chip.
+DENSE_BYTES_BUDGET = 6 << 30
+
+
+def spgemm_dense(
+    a: CsMat,
+    b: CsMat,
+    *,
+    eps: float = 0.0,
+    out_cap: Optional[int] = None,
+    precision: str = "highest",
+) -> CsMat:
+    """C = A @ B via densified matmul on the MXU.
+
+    TPU-first fast path for the high-density regime.  ESC's cost scales
+    with the partial-product count and is gather/sort-bound (~3.5e7
+    products/s measured on this chip); the MXU multiplies dense tiles at
+    ~1e13 MAC/s.  Break-even is therefore around ``products >= 1.5e-6 *
+    m*k*n`` — e.g. the reference bench point (15000,25000) @ d=5e-3
+    (140M products, 5.6e12 dense MACs) sits ~20x past it.  The reference
+    has no analog: SMMP (smmp.rs:196-416) is always sparse on CPU; on
+    TPU the systolic array flips the economics at bench densities.
+
+    Structural caveat: the output pattern is the NUMERICAL nonzero
+    pattern (``|c_ij| > eps``) — entries whose partial products cancel
+    to exactly zero are dropped, where ESC/SMMP would keep them
+    structurally.  Callers needing the structural pattern must use
+    :func:`spgemm`.
+
+    ``precision='highest'`` (default) keeps f32 MXU passes for parity
+    with the f32 ESC path; pass ``'default'`` to allow bf16 passes
+    (faster, ~1e-2 relative error).
+
+    On concrete inputs the result is tightly packed (exact nnz, one
+    scalar fetch); under jit pass ``out_cap``.  Inputs whose dense
+    temporaries exceed ``DENSE_BYTES_BUDGET`` are row-chunked over A
+    with one dispatch per chunk.
+    """
+    if a.cols != b.rows:
+        raise ShapeError(f"spgemm_dense: {a.shape} @ {b.shape}")
+    m, k = a.shape
+    n = b.cols
+    itemsize = jnp.result_type(a.data.dtype, b.data.dtype).itemsize
+    concrete = is_concrete(a.indptr, a.indices, b.indptr)
+    dense_bytes = (m * k + k * n + m * n) * itemsize
+    if concrete and dense_bytes > DENSE_BYTES_BUDGET:
+        fixed = k * n * itemsize
+        rows_per = max(
+            int((DENSE_BYTES_BUDGET - fixed) // ((k + n) * itemsize)),
+            128,
+        )
+        from .construct import vstack
+
+        parts = [
+            spgemm_dense(
+                a.slice_outer(r0, min(r0 + rows_per, m)),
+                b,
+                eps=eps,
+                precision=precision,
+            )
+            for r0 in range(0, m, rows_per)
+        ]
+        return parts[0] if len(parts) == 1 else vstack(parts)
+
+    c = _dense_prod(a.to_csr(), b, prec=precision)
+    from ..formats.csmat import from_dense
+
+    return from_dense(c, eps=eps, cap=out_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("prec",))
+def _dense_prod(am, bm, *, prec):
+    # module-level jit: repeated spgemm_dense calls reuse the executable
+    return jnp.matmul(
+        am.to_dense(), bm.to_csr().to_dense(), precision=prec
+    )

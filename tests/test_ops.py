@@ -348,6 +348,72 @@ class TestJitAndAutodiff:
             assert c.is_csr
             assert int(c.nnz) == int(ref.nnz)
 
+    def test_spgemm_dense_matches_esc(self):
+        rng = np.random.default_rng(5)
+        da = (rng.random((37, 23)) * (rng.random((37, 23)) < 0.3)).astype(
+            np.float32
+        )
+        db = (rng.random((23, 41)) * (rng.random((23, 41)) < 0.3)).astype(
+            np.float32
+        )
+        a, b = st.from_dense(da), st.from_dense(db)
+        c = st.spgemm_dense(a, b)
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+        assert c.is_csr
+        # tightly packed on concrete inputs: nnz == numerical nonzeros
+        assert int(c.nnz) == int(np.count_nonzero(da @ db))
+
+    def test_spgemm_dense_chunked_matches(self):
+        import importlib
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(6)
+        da = (rng.random((70, 30)) * (rng.random((70, 30)) < 0.2)).astype(
+            np.float32
+        )
+        db = (rng.random((30, 20)) * (rng.random((30, 20)) < 0.2)).astype(
+            np.float32
+        )
+        a, b = st.from_dense(da), st.from_dense(db)
+        old = sg.DENSE_BYTES_BUDGET
+        try:
+            # force several row chunks of A
+            sg.DENSE_BYTES_BUDGET = (
+                30 * 20 + (30 + 20) * 130
+            ) * 4
+            c = sg.spgemm_dense(a, b)
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+
+    def test_spgemm_dense_csc_input_and_jit(self):
+        rng = np.random.default_rng(7)
+        da = (rng.random((12, 9)) * (rng.random((12, 9)) < 0.4)).astype(
+            np.float32
+        )
+        db = (rng.random((9, 11)) * (rng.random((9, 11)) < 0.4)).astype(
+            np.float32
+        )
+        a = st.from_dense(da, storage="csc")
+        b = st.from_dense(db)
+        c = st.spgemm_dense(a, b)
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+
+        @jax.jit
+        def f(a, b):
+            return st.spgemm_dense(a.to_csr(), b, out_cap=128)
+
+        cj = f(st.from_dense(da), b)
+        np.testing.assert_allclose(
+            np.asarray(cj.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+
     def test_jit_spgemm_with_caps(self):
         a = st.from_dense(DA, cap=16)
         b = st.from_dense(DB, cap=16)
