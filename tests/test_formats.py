@@ -32,6 +32,20 @@ class TestConstruction:
             m.to_dense(), np.array([[0.0, 1.0], [0.2, 0.0]])
         )
 
+    def test_from_dense_cap_truncation(self):
+        # cap below the true nnz keeps the FIRST cap entries in
+        # row-major order (structure stays valid); cap above pads
+        d = np.array([[1.0, 0.0, 2.0], [3.0, 4.0, 0.0]])
+        m = st.from_dense(d, cap=2)
+        m.check_structure()
+        assert int(m.nnz) == 2
+        np.testing.assert_allclose(
+            m.to_dense(), [[1.0, 0.0, 2.0], [0.0, 0.0, 0.0]]
+        )
+        m8 = st.from_dense(d, cap=8)
+        assert int(m8.nnz) == 4
+        np.testing.assert_allclose(m8.to_dense(), d)
+
     def test_csr_explicit(self):
         m = st.csr((3, 3), [0, 2, 2, 3], [0, 2, 1], [1.0, 2.0, 3.0])
         np.testing.assert_allclose(
