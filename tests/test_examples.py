@@ -35,3 +35,12 @@ def test_preconditioned_solve(capsys):
     out = capsys.readouterr().out
     assert "ic0-pcg" in out and "ilu0" in out
     assert "converged=False" not in out
+
+
+def test_supernodal_refactorization(capsys):
+    run_example(
+        "examples/supernodal_refactorization.py", ["16", "2"]
+    )
+    out = capsys.readouterr().out
+    assert "supernodes=" in out
+    assert "relative residual" in out  # asserts res < 1e-10 internally
