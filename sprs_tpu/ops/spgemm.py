@@ -376,6 +376,12 @@ def _spgemm_chunked(a: CsMat, b: CsMat, budget: int) -> CsMat:
     )
 
 
+# Dense-regime switch for method="auto" (concrete inputs): measured ESC
+# rate ~3.5e7 products/s vs MXU ~1e13 MAC/s gives break-even near
+# products ~ 1.5e-6 * m*k*n; 3e-6 adds margin for densify/convert cost.
+AUTO_DENSE_PRODUCTS_PER_MAC = 3e-6
+
+
 def spgemm(
     a: CsMat,
     b: CsMat,
@@ -384,6 +390,7 @@ def spgemm(
     prod_cap: Optional[int] = None,
     check_capacity: bool = True,
     sort_batches=None,
+    method: str = "esc",
 ) -> CsMat:
     """C = A @ B for sparse A, B.
 
@@ -393,9 +400,20 @@ def spgemm(
     truncates and is reported via host check when ``check_capacity``.
     ``sort_batches``: host segments from :func:`spgemm_sort_batches`
     (auto-computed on large concrete inputs) — batches the ESC sort.
+
+    ``method``: ``'esc'`` (default) keeps the structural output pattern;
+    ``'dense'`` forces the densified-MXU path (:func:`spgemm_dense`);
+    ``'auto'`` (concrete inputs only) picks dense when the
+    partial-product count clears the measured MXU break-even and the
+    dense temporaries fit — NOTE the dense path's pattern is the
+    numerical nonzero pattern (exact-cancellation entries dropped).
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")
+    if method == "dense":
+        return spgemm_dense(a, b, out_cap=out_cap)
+    if method not in ("esc", "auto"):
+        raise ValueError(f"unknown spgemm method {method!r}")
     if a.is_csc:
         # (A·B) = (Bᵀ·Aᵀ)ᵀ — runs the CSR kernel, returns CSC.
         return spgemm(
@@ -404,6 +422,7 @@ def spgemm(
             out_cap=out_cap,
             prod_cap=prod_cap,
             check_capacity=check_capacity,
+            method=method,
         ).T
     b = b.to_csr()
 
@@ -414,6 +433,20 @@ def spgemm(
                 "spgemm under jit requires a static prod_cap bound"
             )
         exact = _exact_prod_count(a, b)
+        if method == "auto":
+            m, k = a.shape
+            n = b.cols
+            itemsize = jnp.result_type(
+                a.data.dtype, b.data.dtype
+            ).itemsize
+            fits = (
+                (m * k + k * n + m * n) * itemsize
+                <= DENSE_BYTES_BUDGET
+            )
+            if fits and exact >= AUTO_DENSE_PRODUCTS_PER_MAC * (
+                float(m) * k * n
+            ):
+                return spgemm_dense(a, b, out_cap=out_cap)
         if exact > CHUNK_PRODUCT_BUDGET:
             return _spgemm_chunked(a, b, CHUNK_PRODUCT_BUDGET)
         prod_cap = max(exact, 1)

@@ -414,6 +414,23 @@ class TestJitAndAutodiff:
             np.asarray(cj.to_dense()), da @ db, rtol=1e-5, atol=1e-6
         )
 
+    def test_spgemm_method_routing(self):
+        rng = np.random.default_rng(8)
+        da = (rng.random((20, 15)) * (rng.random((20, 15)) < 0.5)).astype(
+            np.float32
+        )
+        db = (rng.random((15, 18)) * (rng.random((15, 18)) < 0.5)).astype(
+            np.float32
+        )
+        a, b = st.from_dense(da), st.from_dense(db)
+        for method in ("esc", "dense", "auto"):
+            c = st.spgemm(a, b, method=method)
+            np.testing.assert_allclose(
+                np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+            )
+        with pytest.raises(ValueError):
+            st.spgemm(a, b, method="nope")
+
     def test_jit_spgemm_with_caps(self):
         a = st.from_dense(DA, cap=16)
         b = st.from_dense(DB, cap=16)
