@@ -20,7 +20,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 BLUE = "#0072B2"  # scipy (host CPU)
-VERMILLION = "#D55E00"  # sprs_tpu (device)
+VERMILLION = "#D55E00"  # sprs_tpu ESC (device)
+GREEN = "#009E73"  # sprs_tpu densified-MXU (device)
 
 
 def main():
@@ -42,7 +43,8 @@ def main():
         rows = [
             r
             for r in data.get(key, [])
-            if "scipy_s" in r and "sprs_tpu_s" in r
+            if "scipy_s" in r
+            and ("sprs_tpu_s" in r or r.get("dense_mxu_s"))
         ]
         if not rows:
             ax.set_axis_off()
@@ -54,12 +56,37 @@ def main():
         order = sorted(range(len(rows)), key=lambda i: work[i])
         w = [work[i] for i in order]
         sc = [rows[i]["scipy_s"] * 1e3 for i in order]
-        tp = [rows[i]["sprs_tpu_s"] * 1e3 for i in order]
         ax.loglog(w, sc, "o-", color=BLUE, lw=2, ms=5, label="scipy (host)")
-        ax.loglog(
-            w, tp, "s-", color=VERMILLION, lw=2, ms=5,
-            label="sprs_tpu (1 chip)",
-        )
+        esc = [
+            (i, rows[i]["sprs_tpu_s"] * 1e3)
+            for i in order
+            if rows[i].get("sprs_tpu_s")
+        ]
+        if esc:
+            ax.loglog(
+                [work[i] for i, _ in esc],
+                [t for _, t in esc],
+                "s-",
+                color=VERMILLION,
+                lw=2,
+                ms=5,
+                label="sprs_tpu ESC (1 chip)",
+            )
+        dn = [
+            (i, rows[i]["dense_mxu_s"] * 1e3)
+            for i in order
+            if rows[i].get("dense_mxu_s")
+        ]
+        if dn:
+            ax.loglog(
+                [work[i] for i, _ in dn],
+                [t for _, t in dn],
+                "^-",
+                color=GREEN,
+                lw=2,
+                ms=5,
+                label="sprs_tpu dense-MXU",
+            )
         ax.set_xlabel("problem work  (nnz A + nnz B + nnz C)")
         ax.set_ylabel("wall time per multiply  [ms]")
         ax.set_title(title, fontsize=10)
