@@ -412,6 +412,40 @@ class CsMat:
             return self.get(*key)
         raise TypeError("CsMat supports mat[i, j] indexing only")
 
+    def nnz_index(self, row: int, col: int):
+        """Storage slot of entry (row, col), or -1 if absent — the
+        reference's NnzIndex handle (csmat.rs:2180-2244): resolve the
+        position once, then read/write ``data[slot]`` repeatedly in
+        O(1).  Vectorized masked reduction; jit-compatible."""
+        i, j = (row, col) if self.is_csr else (col, row)
+        start, stop = self.indptr[i], self.indptr[i + 1]
+        pos = jnp.arange(self.cap, dtype=INDEX_DTYPE)
+        hit = (pos >= start) & (pos < stop) & (self.indices == j)
+        return jnp.where(
+            jnp.any(hit),
+            jnp.argmax(hit).astype(INDEX_DTYPE),
+            jnp.asarray(-1, INDEX_DTYPE),
+        )
+
+    def modify(self, fn) -> "CsMat":
+        """Rebuild through ``fn(indptr, indices, data) -> (indptr,
+        indices, data)`` and RE-VALIDATE the invariants — the
+        reference's ``modify`` (csmat.rs:1705-1718), which exists so
+        arbitrary edits can't silently break sortedness/bounds.
+        Host-side: validation needs concrete arrays."""
+        new_indptr, new_indices, new_data = fn(
+            self.indptr, self.indices, self.data
+        )
+        out = CsMat(
+            jnp.asarray(new_indptr, INDEX_DTYPE),
+            jnp.asarray(new_indices, INDEX_DTYPE),
+            jnp.asarray(new_data),
+            self.shape,
+            self.storage,
+        )
+        out.check_structure()
+        return out
+
     # -- slicing ------------------------------------------------------------
     def slice_outer(self, start: int, stop: int) -> "CsMat":
         """Static outer-dimension slice (slicing.rs:17-89).

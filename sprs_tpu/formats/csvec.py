@@ -119,6 +119,34 @@ class CsVec:
     def __getitem__(self, index):
         return self.get(index)
 
+    def nnz_index(self, index: int):
+        """Storage slot of logical ``index``, or -1 if absent — the
+        reference's NnzIndex handle for O(1) repeated access
+        (vec.rs:800-805).  Device binary search; jit-compatible."""
+        si = self.search_indices()
+        pos = jnp.searchsorted(si, index)
+        pos_c = jnp.minimum(pos, self.cap - 1)
+        hit = si[pos_c] == index
+        return jnp.where(
+            hit,
+            pos_c.astype(INDEX_DTYPE),
+            jnp.asarray(-1, INDEX_DTYPE),
+        )
+
+    def iter_perm(self, perm):
+        """Host-side (permuted_index, value) iteration — the
+        reference's VectorIteratorPerm (vec.rs:1042-1046):  yields
+        entries relabeled by ``perm`` (new_index = perm[old_index]),
+        in stored order."""
+        import numpy as np
+
+        p = np.asarray(getattr(perm, "perm", perm))
+        n = int(self.nnz)
+        idx = np.asarray(self.indices)[:n]
+        val = np.asarray(self.data)[:n]
+        for i, v in zip(idx, val):
+            yield int(p[int(i)]), v
+
     # -- elementwise --------------------------------------------------------------
     def map(self, fn) -> "CsVec":
         new = fn(self.data)

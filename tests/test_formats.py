@@ -608,3 +608,49 @@ class TestSliceOuterTightCap:
             return mm.slice_outer(1, 3).to_dense()
 
         np.testing.assert_allclose(np.asarray(f(m)), d[1:3])
+
+
+class TestNnzIndexModify:
+    """Reference parity: NnzIndex handles (csmat.rs:2180-2244,
+    vec.rs:800-805), re-validating modify (csmat.rs:1705-1718),
+    permuted vector iteration (vec.rs:1042-1046)."""
+
+    def test_csmat_nnz_index(self):
+        d = np.array([[1.0, 0.0, 2.0], [0.0, 0.0, 3.0], [4.0, 5.0, 6.0]])
+        m = st.from_dense(d)
+        slot = int(m.nnz_index(1, 2))
+        assert float(m.data[slot]) == 3.0
+        assert int(m.nnz_index(0, 1)) == -1
+        # O(1) repeated access: update through the slot
+        m2 = m.with_data(m.data.at[slot].set(9.0))
+        np.testing.assert_allclose(
+            m2.to_dense(), [[1, 0, 2], [0, 0, 9], [4, 5, 6]]
+        )
+        # csc too
+        mc = st.from_dense(d, storage="csc")
+        slot_c = int(mc.nnz_index(2, 1))
+        assert float(mc.data[slot_c]) == 5.0
+
+    def test_csvec_nnz_index(self):
+        v = st.csvec(8, [1, 4, 6], [1.0, 2.0, 3.0])
+        assert float(v.data[int(v.nnz_index(4))]) == 2.0
+        assert int(v.nnz_index(5)) == -1
+
+    def test_modify_revalidates(self):
+        from sprs_tpu.errors import StructureError
+
+        d = np.array([[1.0, 2.0], [0.0, 3.0]])
+        m = st.from_dense(d)
+        m2 = m.modify(lambda ip, ix, dat: (ip, ix, dat * 2))
+        np.testing.assert_allclose(m2.to_dense(), d * 2)
+        with pytest.raises(StructureError):
+            # out-of-range index must be rejected on rebuild
+            m.modify(
+                lambda ip, ix, dat: (ip, ix.at[0].set(99), dat)
+            )
+
+    def test_csvec_iter_perm(self):
+        v = st.csvec(4, [0, 2, 3], [1.0, 2.0, 3.0])
+        perm = np.array([3, 2, 1, 0])
+        got = list(v.iter_perm(perm))
+        assert got == [(3, 1.0), (1, 2.0), (0, 3.0)]
