@@ -485,6 +485,32 @@ class TestSpgemmAutodiff:
         )
 
 
+    def test_spgemm_dense_grads_match_oracle(self):
+        # the dense path has no custom VJP; matmul + scatter compose
+        # differentiably — pin that both operand grads match the oracle
+        rng = np.random.default_rng(9)
+        d1 = rng.standard_normal((6, 5)) * (rng.random((6, 5)) < 0.6)
+        d2 = rng.standard_normal((5, 7)) * (rng.random((5, 7)) < 0.6)
+        a, b = st.from_dense(d1), st.from_dense(d2)
+
+        def loss(adata, bdata):
+            c = st.spgemm_dense(
+                a.with_data(adata), b.with_data(bdata), out_cap=64
+            )
+            return (c.data ** 2).sum()
+
+        def dense_loss(adata, bdata):
+            c = a.with_data(adata).to_dense() @ b.with_data(
+                bdata
+            ).to_dense()
+            return (c ** 2).sum()
+
+        g = jax.grad(loss, argnums=(0, 1))(a.data, b.data)
+        gd = jax.grad(dense_loss, argnums=(0, 1))(a.data, b.data)
+        assert float(np.abs(np.asarray(g[0])).sum()) > 0
+        np.testing.assert_allclose(g[0], gd[0], rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(g[1], gd[1], rtol=1e-6, atol=1e-9)
+
 class TestVmapSamePattern:
     """vmap over VALUES with a shared pattern: one compile serves a
     batch of same-structure matrices (the capacity-padding payoff)."""
