@@ -69,6 +69,24 @@ def test_spgemm_vs_scipy(seed):
 
 
 @pytest.mark.parametrize("seed", CASES)
+def test_spgemm_dense_vs_scipy(seed):
+    # the densified-MXU path must agree with scipy up to the
+    # documented caveat (exact-cancellation entries dropped) — with
+    # random continuous values, cancellation is measure-zero
+    rng, d, storage = rand_case(seed)
+    e = rng.standard_normal((d.shape[1], int(rng.integers(1, 30))))
+    e[rng.random(e.shape) > 0.3] = 0.0
+    a = st.from_dense(d, storage=storage)
+    b = st.from_dense(e)
+    c = st.spgemm_dense(a, b)
+    c.to_csr().check_structure()
+    ref = a.to_scipy() @ b.to_scipy()
+    np.testing.assert_allclose(
+        np.asarray(c.to_dense()), ref.toarray(), rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", CASES)
 def test_add_sub_mul(seed):
     rng, d, storage = rand_case(seed)
     e = rng.standard_normal(d.shape)
