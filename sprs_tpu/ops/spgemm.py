@@ -518,8 +518,9 @@ def spgemm_dense(
 
     On concrete inputs the result is tightly packed (exact nnz, one
     scalar fetch); under jit pass ``out_cap``.  Inputs whose dense
-    temporaries exceed ``DENSE_BYTES_BUDGET`` are row-chunked over A
-    with one dispatch per chunk.
+    temporaries exceed ``DENSE_BYTES_BUDGET`` are chunked — over B's
+    columns first when dense B alone dominates the budget, then over
+    A's rows — with one dispatch per chunk.
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm_dense: {a.shape} @ {b.shape}")
@@ -528,6 +529,26 @@ def spgemm_dense(
     itemsize = jnp.result_type(a.data.dtype, b.data.dtype).itemsize
     concrete = is_concrete(a.indptr, a.indices, b.indptr)
     dense_bytes = (m * k + k * n + m * n) * itemsize
+    if concrete and k * n * itemsize > DENSE_BYTES_BUDGET // 2:
+        # dense B alone dominates: chunk its columns (csc outer slices),
+        # recurse (each chunk may still row-chunk A), hstack results
+        cols_per = max(
+            int((DENSE_BYTES_BUDGET // 2) // (k * itemsize)), 128
+        )
+        from .construct import hstack
+
+        bc = b.to_csc()
+        parts = [
+            spgemm_dense(
+                a,
+                bc.slice_outer(c0, min(c0 + cols_per, n)),
+                eps=eps,
+                precision=precision,
+            )
+            for c0 in range(0, n, cols_per)
+        ]
+        out = parts[0] if len(parts) == 1 else hstack(parts)
+        return out.to_csr()
     if concrete and dense_bytes > DENSE_BYTES_BUDGET:
         fixed = k * n * itemsize
         rows_per = max(

@@ -390,6 +390,30 @@ class TestJitAndAutodiff:
             np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
         )
 
+    def test_spgemm_dense_col_chunked_matches(self):
+        import importlib
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(12)
+        # wide B: dense B dominates the budget -> column chunking
+        da = (rng.random((10, 30)) * (rng.random((10, 30)) < 0.3)).astype(
+            np.float32
+        )
+        db = (
+            rng.random((30, 400)) * (rng.random((30, 400)) < 0.1)
+        ).astype(np.float32)
+        a, b = st.from_dense(da), st.from_dense(db)
+        old = sg.DENSE_BYTES_BUDGET
+        try:
+            sg.DENSE_BYTES_BUDGET = 30 * 150 * 4 * 2  # ~150 cols/chunk
+            c = sg.spgemm_dense(a, b)
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
+        assert c.is_csr
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+
     def test_spgemm_dense_csc_input_and_jit(self):
         rng = np.random.default_rng(7)
         da = (rng.random((12, 9)) * (rng.random((12, 9)) < 0.4)).astype(
