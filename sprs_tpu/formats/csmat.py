@@ -427,6 +427,20 @@ class CsMat:
             jnp.asarray(-1, INDEX_DTYPE),
         )
 
+    def structure_view(self) -> "CsMat":
+        """Pattern-only twin with data = 1 (int8) — the reference's
+        ``CsStructure`` alias (sparse.rs:94-129, ZST data for
+        symbolic-only work).  Pattern algebra composes through the
+        normal ops: ``add`` = pattern union, ``spgemm`` = structural
+        product (values count contributing products)."""
+        return CsMat(
+            self.indptr,
+            self.indices,
+            self.live_mask().astype(jnp.int8),
+            self.shape,
+            self.storage,
+        )
+
     def modify(self, fn) -> "CsMat":
         """Rebuild through ``fn(indptr, indices, data) -> (indptr,
         indices, data)`` and RE-VALIDATE the invariants — the

@@ -654,3 +654,19 @@ class TestNnzIndexModify:
         perm = np.array([3, 2, 1, 0])
         got = list(v.iter_perm(perm))
         assert got == [(3, 1.0), (1, 2.0), (0, 3.0)]
+
+
+class TestStructureView:
+    def test_pattern_algebra(self):
+        d = np.array([[1.0, 0.0, 2.0], [0.0, 3.0, 0.0], [4.0, 0.0, 5.0]])
+        s = st.from_dense(d).structure_view()
+        assert s.data.dtype == np.int8
+        np.testing.assert_array_equal(
+            np.asarray(s.to_dense()), (d != 0).astype(np.int8)
+        )
+        # structural product: values count contributing partial products
+        prod = st.spgemm(
+            s.astype(np.float32), s.astype(np.float32)
+        )
+        expect = (d != 0).astype(float) @ (d != 0).astype(float)
+        np.testing.assert_allclose(np.asarray(prod.to_dense()), expect)
