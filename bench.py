@@ -144,6 +144,14 @@ def main():
             ),
             dia,
         )
+        # hand-pipelined explicit-DMA variant (make_async_copy depth 4)
+        kernels["pallas_dia_manual"] = (
+            _make_fori_runner(
+                lambda m, v: m.spmv(v, variant="manual", depth=4),
+                inner,
+            ),
+            tiled,
+        )
 
     # warm (compile) everything once before any timed round, then one
     # throwaway executed round: copy bandwidth ramps within a process,
@@ -199,8 +207,9 @@ def main():
             "pallas_vs_xla_speedup": round(
                 kernel_best["xla_dia"]
                 / min(
-                    kernel_best.get("pallas_dia_tiled", float("inf")),
-                    kernel_best.get("pallas_dia_lag", float("inf")),
+                    v
+                    for k2, v in kernel_best.items()
+                    if k2 != "xla_dia"
                 ),
                 3,
             )
