@@ -576,7 +576,17 @@ def spgemm_dense(
 
 @functools.partial(jax.jit, static_argnames=("prec",))
 def _dense_prod(am, bm, *, prec):
-    # module-level jit: repeated spgemm_dense calls reuse the executable
-    return jnp.matmul(
-        am.to_dense(), bm.to_csr().to_dense(), precision=prec
+    # module-level jit: repeated spgemm_dense calls reuse the executable.
+    # preferred_element_type pins f32-or-wider ACCUMULATION even when
+    # precision='default' lets the MXU run bf16 input passes.
+    ad, bd = am.to_dense(), bm.to_csr().to_dense()
+    out = jnp.result_type(ad, bd)
+    acc = (
+        jnp.float32
+        if jnp.issubdtype(out, jnp.floating)
+        and jnp.finfo(out).bits < 32
+        else out
     )
+    return jnp.matmul(
+        ad, bd, precision=prec, preferred_element_type=acc
+    ).astype(out)
