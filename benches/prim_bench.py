@@ -39,6 +39,17 @@ def chain(f, x0, iters=10, rounds=3):
     return chain_time_best(jax.jit(f), x0, iters=iters, rounds=rounds)
 
 
+def fori(f, x0, inner=16, rounds=3):
+    # in-jit fori_loop chain: amortizes the per-DISPATCH tunnel floor
+    # (~ms) that a host-side chain still pays once per iteration —
+    # the honest number for sub-ms primitives
+    from sprs_tpu.utils.profile import fori_chain_time
+
+    return fori_chain_time(
+        lambda _, y: f(y), None, x0, inner=inner, rounds=rounds
+    )
+
+
 def main():
     rng = np.random.default_rng(0)
     k2 = jnp.asarray(rng.integers(0, 1 << 30, (B, 128)).astype(np.int32))
@@ -73,10 +84,16 @@ def main():
         ),
         "cumsum": (lambda i: jnp.cumsum(i) % N, idx),
     }
+    t_ref_fori = fori(lambda a: a * 1.000001 + 0.5, kf)
+    out["trivial_fori_ms"] = round(t_ref_fori * 1e3, 3)
+    out["stream_fori_GBps"] = round(2 * 4 * N / t_ref_fori / 1e9, 1)
     for name, (f, x0) in prims.items():
         t = chain(f, x0)
         out[name + "_ms"] = round(t * 1e3, 3)
         out[name + "_vs_trivial"] = round(t / t_ref, 2)
+        tf = fori(f, x0)
+        out[name + "_fori_ms"] = round(tf * 1e3, 3)
+        out[name + "_fori_vs_trivial"] = round(tf / t_ref_fori, 2)
     print(json.dumps(out))
 
 
