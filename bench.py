@@ -97,6 +97,16 @@ def _laplacian_dia(side: int):
 def main():
     import sys
 
+    # If the TPU tunnel is hard-down (backend init UNAVAILABLE — seen
+    # for hours at a stretch), fall back to CPU rather than crash with
+    # no JSON: the backend field in the output keeps the record honest.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"# backend init failed ({e}); CPU fallback", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
     # Drain any tunnel wedge left by a previously killed process: the
     # first small transfer can take minutes; do it before timing.
     t0 = time.perf_counter()
