@@ -165,6 +165,8 @@ def bench_one(shape_a, shape_b, density, seed=0):
             shape_a=list(shape_a),
             shape_b=list(shape_b),
             density=density,
+            nnz_a=int(a.nnz),
+            nnz_b=int(b.nnz),
             nnz_c=int(c_ref.nnz),
             scipy_s=t_scipy,
             native_gustavson_s=t_native,

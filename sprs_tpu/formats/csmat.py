@@ -988,16 +988,28 @@ def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
             cap = max(n_outer * n_inner, 1)
     flat_keep = keep.reshape(-1)
     total = n_outer * n_inner
+    if total == 0:
+        # zero-dimension input: no elements to scan (gid[-1] below
+        # would crash on the empty cumsum)
+        return CsMat(
+            jnp.zeros((n_outer + 1,), INDEX_DTYPE),
+            jnp.zeros((cap,), INDEX_DTYPE),
+            jnp.zeros((cap,), a.dtype),
+            (r, c),
+            storage,
+        )
     # Flat row-major order is already (row, col)-sorted; compact kept
     # entries by destination slot (prefix count).  Every element
     # scatters (non-kept ones masked to zero contributions) so the
     # index stream stays non-decreasing: a non-kept element carries the
     # gid of the last kept element before it and adds 0 there; leading
-    # non-kept elements carry gid=-1 (out of range, dropped).  This
-    # preserves the ``indices_are_sorted`` fast path, which a
-    # where(keep, gid, cap) marker would break.
+    # non-kept elements clamp to slot 0 (also a 0-add no-op).  NB: the
+    # clamp is required — JAX wraps negative scatter indices instead of
+    # dropping them, so gid=-1 would write slot cap-1 and break the
+    # ``indices_are_sorted`` contract.
     gid = jnp.cumsum(flat_keep.astype(INDEX_DTYPE)) - 1
     nnz = jnp.minimum(gid[-1] + 1, cap).astype(INDEX_DTYPE)
+    gid = jnp.maximum(gid, 0)
     cols = jnp.arange(total, dtype=INDEX_DTYPE) % max(n_inner, 1)
     indices = (
         jnp.zeros((cap,), INDEX_DTYPE)

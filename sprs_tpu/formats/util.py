@@ -194,17 +194,22 @@ def _compress_from_sorted_key(k, svals, first, n_outer, n_inner_c, out_cap):
     pack to ``n_outer*n_inner`` and batched-segment pads to INT-MAX —
     both >= every live key — and pads never start a group (``unique``
     requires liveness), so a pad's min-write into the preceding live
-    group always loses.  Leading pads carry gid=-1 (out of range,
-    dropped).  The compacted keys are non-decreasing (groups ascend,
-    untouched slots keep INT-MAX), so every downstream scatter keeps the
-    ``indices_are_sorted`` fast path regardless of batched-sort pad
-    interspersal.
+    group always loses.  Leading pads clamp to gid=0 (NOT -1: JAX
+    wraps negative scatter indices numpy-style instead of dropping
+    them, so -1 would write slot out_cap-1 and break sortedness); a
+    clamped pad's min-write at slot 0 still loses to the true group-0
+    key (live keys sort below every pad key) and its value add is 0 by
+    the padding convention.  The compacted keys are non-decreasing
+    (groups ascend, untouched slots keep INT-MAX), so every downstream
+    scatter keeps the ``indices_are_sorted`` fast path regardless of
+    batched-sort pad interspersal.
     """
     sentinel = jnp.asarray(n_outer * n_inner_c, k.dtype)
     live_sorted = k < sentinel
     unique = first & live_sorted
     gid = jnp.cumsum(unique.astype(INDEX_DTYPE)) - 1
     required = gid[-1] + 1
+    gid = jnp.maximum(gid, 0)
     fill = jnp.iinfo(k.dtype).max
     key_out = (
         jnp.full((out_cap,), fill, dtype=k.dtype)

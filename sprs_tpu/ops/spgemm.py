@@ -524,51 +524,61 @@ def spgemm_dense(
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm_dense: {a.shape} @ {b.shape}")
+    a = a.to_csr()  # chunking slices ROWS — a CSC outer slice would
+    # cut columns; normalize before any branch
     m, k = a.shape
     n = b.cols
     itemsize = jnp.result_type(a.data.dtype, b.data.dtype).itemsize
     concrete = is_concrete(a.indptr, a.indices, b.indptr)
     dense_bytes = (m * k + k * n + m * n) * itemsize
+    # Chunk bounds floor at 128 to keep MXU tiles sane; when even a
+    # 128-wide chunk exceeds the budget the splits below make no
+    # progress, so each branch only fires if it genuinely subdivides
+    # (guards against infinite recursion — the one-shot product then
+    # runs over budget rather than recursing forever).
     if concrete and k * n * itemsize > DENSE_BYTES_BUDGET // 2:
-        # dense B alone dominates: chunk its columns (csc outer slices),
-        # recurse (each chunk may still row-chunk A), hstack results
+        # dense B alone dominates: chunk its columns (csc outer
+        # slices), recurse (each chunk may still row-chunk A), hstack
         cols_per = max(
             int((DENSE_BYTES_BUDGET // 2) // (k * itemsize)), 128
         )
-        from .construct import hstack
+        if cols_per < n:
+            from .construct import hstack
 
-        bc = b.to_csc()
-        parts = [
-            spgemm_dense(
-                a,
-                bc.slice_outer(c0, min(c0 + cols_per, n)),
-                eps=eps,
-                precision=precision,
-            )
-            for c0 in range(0, n, cols_per)
-        ]
-        out = parts[0] if len(parts) == 1 else hstack(parts)
-        return out.to_csr()
+            bc = b.to_csc()
+            parts = [
+                spgemm_dense(
+                    a,
+                    bc.slice_outer(c0, min(c0 + cols_per, n)),
+                    eps=eps,
+                    precision=precision,
+                )
+                for c0 in range(0, n, cols_per)
+            ]
+            out = hstack(parts).to_csr()
+            return out if out_cap is None else out.with_cap(out_cap)
     if concrete and dense_bytes > DENSE_BYTES_BUDGET:
         fixed = k * n * itemsize
         rows_per = max(
             int((DENSE_BYTES_BUDGET - fixed) // ((k + n) * itemsize)),
             128,
         )
-        from .construct import vstack
+        if rows_per < m:
+            from .construct import vstack
 
-        parts = [
-            spgemm_dense(
-                a.slice_outer(r0, min(r0 + rows_per, m)),
-                b,
-                eps=eps,
-                precision=precision,
-            )
-            for r0 in range(0, m, rows_per)
-        ]
-        return parts[0] if len(parts) == 1 else vstack(parts)
+            parts = [
+                spgemm_dense(
+                    a.slice_outer(r0, min(r0 + rows_per, m)),
+                    b,
+                    eps=eps,
+                    precision=precision,
+                )
+                for r0 in range(0, m, rows_per)
+            ]
+            out = vstack(parts)
+            return out if out_cap is None else out.with_cap(out_cap)
 
-    c = _dense_prod(a.to_csr(), b, prec=precision)
+    c = _dense_prod(a, b, prec=precision)
     from ..formats.csmat import from_dense
 
     return from_dense(c, eps=eps, cap=out_cap)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _fetch_scalar(y) -> float:
+def fetch_scalar(y) -> float:
     """Force completion by reading ONE device scalar.
 
     The index happens on device; only 4 bytes cross the tunnel.  A
@@ -38,6 +38,9 @@ def _fetch_scalar(y) -> float:
     inside the timed window and inflate every measurement."""
     leaf = jax.tree_util.tree_leaves(y)[0]
     return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
+_fetch_scalar = fetch_scalar  # backward-compat alias
 
 
 def chain_time(step: Callable, x0, iters: int = 50) -> float:

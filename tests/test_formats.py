@@ -46,6 +46,30 @@ class TestConstruction:
         assert int(m8.nnz) == 4
         np.testing.assert_allclose(m8.to_dense(), d)
 
+    def test_from_dense_leading_zero(self):
+        # regression: the sort-free path scatters every element; a
+        # leading zero used to produce gid=-1, which JAX WRAPS to the
+        # last slot (numpy semantics) instead of dropping — corrupting
+        # the tail entry under the indices_are_sorted hint
+        d = np.array([[0.0, 0.0, 1.0], [0.0, 2.0, 0.0], [3.0, 0.0, 4.0]])
+        for storage in ("csr", "csc"):
+            m = st.from_dense(d, storage=storage)
+            m.check_structure()
+            np.testing.assert_allclose(m.to_dense(), d)
+        # tight cap (no slack slot to absorb a wrapped write)
+        m = st.from_dense(d, cap=4)
+        np.testing.assert_allclose(m.to_dense(), d)
+        # all-zero input
+        z = st.from_dense(np.zeros((2, 3)))
+        assert int(z.nnz) == 0
+        np.testing.assert_allclose(z.to_dense(), np.zeros((2, 3)))
+
+    def test_from_dense_zero_dims(self):
+        for shape in ((0, 3), (3, 0), (0, 0)):
+            m = st.from_dense(np.zeros(shape))
+            assert int(m.nnz) == 0
+            assert m.shape == shape
+
     def test_csr_explicit(self):
         m = st.csr((3, 3), [0, 2, 2, 3], [0, 2, 1], [1.0, 2.0, 3.0])
         np.testing.assert_allclose(

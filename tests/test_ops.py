@@ -367,22 +367,65 @@ class TestJitAndAutodiff:
 
     def test_spgemm_dense_chunked_matches(self):
         import importlib
+        from unittest import mock
 
         sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        construct = importlib.import_module("sprs_tpu.ops.construct")
         rng = np.random.default_rng(6)
-        da = (rng.random((70, 30)) * (rng.random((70, 30)) < 0.2)).astype(
-            np.float32
-        )
+        # m=300 > the 128-row chunk floor so chunking really happens
+        da = (
+            rng.random((300, 30)) * (rng.random((300, 30)) < 0.1)
+        ).astype(np.float32)
         db = (rng.random((30, 20)) * (rng.random((30, 20)) < 0.2)).astype(
             np.float32
         )
         a, b = st.from_dense(da), st.from_dense(db)
         old = sg.DENSE_BYTES_BUDGET
         try:
-            # force several row chunks of A
-            sg.DENSE_BYTES_BUDGET = (
-                30 * 20 + (30 + 20) * 130
-            ) * 4
+            # budget below dense_bytes=(300*30+30*20+300*20)*4=62400
+            # but above fixed=k*n*4*2 so the COLUMN branch stays off
+            sg.DENSE_BYTES_BUDGET = 20000
+            with mock.patch.object(
+                construct, "vstack", wraps=construct.vstack
+            ) as vs:
+                c = sg.spgemm_dense(a, b)
+            assert vs.call_count == 1  # the chunk branch really ran
+            assert len(vs.call_args[0][0]) == 3  # 128+128+44 rows
+            # out_cap must be honored through the chunk path
+            c_cap = sg.spgemm_dense(a, b, out_cap=4096)
+            assert c_cap.cap == 4096
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+        # CSC A through the chunked path (rows must still mean rows)
+        try:
+            sg.DENSE_BYTES_BUDGET = 20000
+            c2 = sg.spgemm_dense(st.from_dense(da, storage="csc"), b)
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
+        np.testing.assert_allclose(
+            np.asarray(c2.to_dense()), da @ db, rtol=1e-5, atol=1e-6
+        )
+
+    def test_spgemm_dense_oversized_chunk_no_recursion(self):
+        import importlib
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(13)
+        da = (rng.random((40, 30)) * (rng.random((40, 30)) < 0.2)).astype(
+            np.float32
+        )
+        db = (rng.random((30, 25)) * (rng.random((30, 25)) < 0.2)).astype(
+            np.float32
+        )
+        a, b = st.from_dense(da), st.from_dense(db)
+        old = sg.DENSE_BYTES_BUDGET
+        try:
+            # budget so small even one 128-wide chunk exceeds it: must
+            # fall through to the one-shot product, not recurse forever
+            sg.DENSE_BYTES_BUDGET = 64
             c = sg.spgemm_dense(a, b)
         finally:
             sg.DENSE_BYTES_BUDGET = old
