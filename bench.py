@@ -140,6 +140,24 @@ def main():
     )
     copy_run = _make_fori_runner(lambda m, y: y * 1.000001 + 0.5, inner)
 
+    # Speed-of-light TWIN of the SpMV access pattern: read the same W
+    # diagonal streams + y, write y — identical byte traffic
+    # ((W+2)·n·4, the useful_bytes accounting below) with zero sparse
+    # logic (no rolls, no index math).  If the best SpMV kernel matches
+    # the twin, the kernel IS at the chip's streaming limit for this
+    # pattern and any residual gap to 2-stream copy peak is the
+    # multi-stream penalty, not kernel inefficiency.
+    w_d = dia.n_diags
+    d_flat = jnp.reshape(dia.data.astype(jnp.float32), (-1,))[: w_d * n]
+
+    def _twin_step(d, y):
+        acc = y
+        for j in range(w_d):
+            acc = acc + d[j * n : (j + 1) * n]
+        return acc
+
+    twin_run = _make_fori_runner(_twin_step, inner)
+
     kernels = {"xla_dia": (_make_fori_runner(dia_spmv, inner), dia)}
     if on_tpu:
         # interpret-mode Pallas (the only option off-TPU) is a Python
@@ -168,6 +186,7 @@ def main():
     # and a cold first copy round under-measures the denominator
     # (observed frac > 1 artifacts).
     _ = _fetch_scalar(copy_run(None, cx))
+    _ = _fetch_scalar(twin_run(d_flat, x))
     for run, mat in kernels.values():
         _ = _fetch_scalar(run(mat, x))
     _ = _time_runner(copy_run, None, cx, inner)
@@ -177,6 +196,8 @@ def main():
     # drifts slowly; measure copy peak and SpMV in interleaved rounds
     # and report the best PAIRED ratio so drift cancels.
     best = None
+    best_twin_frac = 0.0
+    twin_best_gbps = 0.0
     kernel_best = {k: float("inf") for k in kernels}
     for r in range(6):
         peak = (
@@ -185,6 +206,10 @@ def main():
             / _time_runner(copy_run, None, cx, inner)
             / 1e9
         )
+        twin_gbps = (
+            useful_bytes / _time_runner(twin_run, d_flat, x, inner) / 1e9
+        )
+        twin_best_gbps = max(twin_best_gbps, twin_gbps)
         times = {
             k: _time_runner(run, mat, x, inner)
             for k, (run, mat) in kernels.items()
@@ -195,9 +220,12 @@ def main():
         dt = times[kbest]
         gbps = useful_bytes / dt / 1e9
         frac = gbps / peak if peak > 0 else 0.0
+        twin_frac = gbps / twin_gbps if twin_gbps > 0 else 0.0
+        best_twin_frac = max(best_twin_frac, twin_frac)
         print(
             f"# round {r}: spmv {gbps:.1f} GB/s ({kbest}), "
-            f"copy {peak:.1f} GB/s, frac {frac:.3f}",
+            f"copy {peak:.1f} GB/s, twin {twin_gbps:.1f} GB/s, "
+            f"frac {frac:.3f}, twin_frac {twin_frac:.3f}",
             file=sys.stderr,
         )
         if best is None or frac > best[0]:
@@ -212,6 +240,11 @@ def main():
             "kernel": kbest,
             "spmv_effective_GBps": round(gbps, 2),
             "copy_peak_GBps": round(peak, 2),
+            # speed-of-light twin: same (W+2)-stream traffic, no sparse
+            # logic — spmv/twin ≈ 1 proves the kernel is at the chip's
+            # streaming limit for this access pattern.
+            "stream_twin_GBps": round(twin_best_gbps, 2),
+            "frac_vs_stream_twin": round(best_twin_frac, 4),
             "gnnz_per_s": round(nnz / dt / 1e9, 3),
             "spmv_gflops": round(2 * nnz / dt / 1e9, 3),
             "pallas_vs_xla_speedup": round(
