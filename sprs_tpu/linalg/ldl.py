@@ -66,9 +66,16 @@ class LdlSymbolic:
     # L stored CSC with explicit unit diagonal (diag entry first per col)
     l_indptr: np.ndarray  # (n+1,)
     l_indices: np.ndarray  # (lnz,)
-    # per-row update lists (ascending == topological) and insert slots
-    row_pattern: np.ndarray  # (n, wl) padded with n
-    insert_pos: np.ndarray  # (n, wl) absolute slot of L[k, j]
+    # per-row update lists (ascending == topological) and insert slots,
+    # stored FLAT (O(lnz)): row k's entries live at
+    # rp_indptr[k]:rp_indptr[k+1].  The padded (n, wl) twins used by the
+    # sequential scan numeric are derived lazily (see ``row_pattern`` /
+    # ``insert_pos``) — wl reaches the trailing dense-block width under
+    # fill-reducing orderings (~sqrt(n) on 2-D meshes), so the padded
+    # grid is O(n^1.5) memory and must not be built eagerly at scale.
+    rp_indptr: np.ndarray  # (n+1,)
+    rp_cols: np.ndarray  # (sub-diag lnz,) update column j of L[k, j]
+    rp_slots: np.ndarray  # (sub-diag lnz,) absolute CSC slot of L[k, j]
     # gather map from input CSR data into permuted upper rows
     a_pos: np.ndarray  # (n, wa) positions into data, clamped
     a_col: np.ndarray  # (n, wa) permuted column (== row index for diag)
@@ -165,17 +172,18 @@ class LdlSymbolic:
             l_indptr = np.zeros(n + 1, dtype=np.int64)
             l_indptr[1:] = np.cumsum(col_size)
             lnz = int(l_indptr[-1])
-            wl = max(int(row_count32.max()), 1) if n else 1
-            row_pattern32, insert_pos, l_indices32 = native.ldl_pattern(
+            rp_indptr = np.zeros(n + 1, dtype=np.int64)
+            rp_indptr[1:] = np.cumsum(row_count32.astype(np.int64))
+            rp_cols32, rp_slots, l_indices32 = native.ldl_pattern_flat(
                 row_ptr.astype(np.int32),
                 row_cols_flat,
                 n,
                 parent32,
                 l_indptr,
-                wl,
+                rp_indptr,
                 lnz,
             )
-            row_pattern = row_pattern32.astype(np.int64)
+            rp_cols = rp_cols32.astype(np.int64)
             l_indices = l_indices32.astype(np.int64)
         else:
             parent = np.full(n, -1, dtype=np.int64)
@@ -208,14 +216,18 @@ class LdlSymbolic:
             fill = l_indptr[:-1].copy() + 1  # slot after the diagonal
             for j in range(n):
                 l_indices[l_indptr[j]] = j  # unit diagonal
-            wl = max((len(pt) for pt in patterns), default=0)
-            wl = max(wl, 1)
-            row_pattern = np.full((n, wl), n, dtype=np.int64)
-            insert_pos = np.zeros((n, wl), dtype=np.int64)
+            rp_indptr = np.zeros(n + 1, dtype=np.int64)
+            rp_indptr[1:] = np.cumsum(
+                [len(pt) for pt in patterns], dtype=np.int64
+            )
+            total_rp = int(rp_indptr[-1])
+            rp_cols = np.zeros(total_rp, dtype=np.int64)
+            rp_slots = np.zeros(total_rp, dtype=np.int64)
             for k in range(n):
+                base = rp_indptr[k]
                 for t, j in enumerate(patterns[k]):
-                    row_pattern[k, t] = j
-                    insert_pos[k, t] = fill[j]
+                    rp_cols[base + t] = j
+                    rp_slots[base + t] = fill[j]
                     l_indices[fill[j]] = k
                     fill[j] += 1
         wc = max(int(col_size.max()), 1) if n else 1
@@ -257,8 +269,9 @@ class LdlSymbolic:
             parent=parent,
             l_indptr=l_indptr,
             l_indices=l_indices,
-            row_pattern=row_pattern,
-            insert_pos=insert_pos,
+            rp_indptr=rp_indptr,
+            rp_cols=rp_cols,
+            rp_slots=rp_slots,
             a_pos=a_pos,
             a_col=a_col,
             a_live=a_live,
@@ -270,6 +283,47 @@ class LdlSymbolic:
             wc=wc,
         )
         return sym
+
+    @property
+    def wl(self) -> int:
+        """Max per-row update-list length (padded width of the lazy
+        ``row_pattern``/``insert_pos`` twins)."""
+        counts = np.diff(self.rp_indptr)
+        return max(int(counts.max()) if counts.size else 0, 1)
+
+    def _padded_pattern(self):
+        """(n, wl) ``row_pattern``/``insert_pos`` twins of the flat
+        arrays, built on first use and cached.
+
+        Only the sequential scan numeric needs the padded form (static
+        shapes under jit); it is O(n·wl) memory — wl reaches the
+        trailing dense-block width under fill-reducing orderings — so
+        it must never be built eagerly for large problems (the
+        supernodal path uses the flat arrays' a_* maps only)."""
+        cached = self.__dict__.get("_padded")
+        if cached is None:
+            n, wl = self.n, self.wl
+            counts = np.diff(self.rp_indptr)
+            rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+            rank = (
+                np.arange(self.rp_indptr[-1], dtype=np.int64)
+                - np.repeat(self.rp_indptr[:-1], counts)
+            )
+            row_pattern = np.full((n, wl), n, dtype=np.int64)
+            insert_pos = np.zeros((n, wl), dtype=np.int64)
+            row_pattern[rows, rank] = self.rp_cols
+            insert_pos[rows, rank] = self.rp_slots
+            cached = (row_pattern, insert_pos)
+            object.__setattr__(self, "_padded", cached)
+        return cached
+
+    @property
+    def row_pattern(self) -> np.ndarray:
+        return self._padded_pattern()[0]
+
+    @property
+    def insert_pos(self) -> np.ndarray:
+        return self._padded_pattern()[1]
 
     def super_plan(self, **kwargs):
         """The supernodal schedule for this pattern (built lazily, cached
@@ -298,7 +352,7 @@ def _numeric_host(sym: LdlSymbolic, data: np.ndarray):
     d = np.zeros(n, dtype=data.dtype)
     y = np.zeros(n, dtype=data.dtype)
     lp, li = sym.l_indptr, sym.l_indices
-    fill = lp[:-1] + 1
+    rp, rc, rs = sym.rp_indptr, sym.rp_cols, sym.rp_slots
     for j in range(n):
         lx[lp[j]] = 1.0  # unit diagonal
     for k in range(n):
@@ -307,19 +361,17 @@ def _numeric_host(sym: LdlSymbolic, data: np.ndarray):
         dk = vals[cols == k].sum()
         off = cols < k
         y[cols[off]] += vals[off]
-        for t in range(sym.row_pattern.shape[1]):
-            j = sym.row_pattern[k, t]
-            if j >= n:
-                break
+        for t in range(rp[k], rp[k + 1]):
+            j = rc[t]
             yj = y[j]
             y[j] = 0.0
-            lo, hi = lp[j] + 1, sym.insert_pos[k, t]
+            lo, hi = lp[j] + 1, rs[t]
             y[li[lo:hi]] -= lx[lo:hi] * yj
             if d[j] == 0:
                 raise SingularMatrixError(f"zero pivot at column {int(j)}")
             l_kj = yj / d[j]
             dk -= l_kj * yj
-            lx[sym.insert_pos[k, t]] = l_kj
+            lx[rs[t]] = l_kj
         if dk == 0:
             raise SingularMatrixError(f"zero pivot at column {k}")
         d[k] = dk

@@ -188,18 +188,24 @@ def _scan_solve_csc(
 class TriSchedule:
     """Host-computed dependency levels of a triangular matrix.
 
-    ``level_rows[l]`` lists the rows solvable in parallel at level ``l``,
-    padded with the sentinel ``n``.  Built once per pattern; reusable for
-    every numeric solve with that pattern (the LDLᵀ use case).
+    Rows are stored sorted by level (``order``) with per-level extents
+    (``offsets``) — O(n) memory.  A padded ``(n_levels, width)`` matrix
+    was measured O(GBs) on fill-heavy factors (camd-ordered 10⁶-row
+    Laplacian: width ~5·10⁵, thousands of levels); the device solve
+    instead takes a static-``width`` ``dynamic_slice`` window per level.
+    Built once per pattern; reusable for every numeric solve with that
+    pattern (the LDLᵀ use case).
     """
 
-    level_rows: np.ndarray  # (n_levels, max_width) int32, padded with n
+    order: np.ndarray  # (n + width,) int32 rows by level, tail-padded n
+    offsets: np.ndarray  # (n_levels + 1,) int64 level extents in order
+    width: int  # max rows per level (static vmap width)
     n: int
     lower: bool
 
     @property
     def n_levels(self) -> int:
-        return self.level_rows.shape[0]
+        return self.offsets.shape[0] - 1
 
 
 def build_schedule(mat: CsMat, *, lower: bool = True) -> TriSchedule:
@@ -225,13 +231,13 @@ def build_schedule(mat: CsMat, *, lower: bool = True) -> TriSchedule:
         n_levels = int(level.max()) + 1 if n else 1
     counts = np.bincount(level, minlength=n_levels)
     width = max(int(counts.max()), 1) if n else 1
-    rows = np.full((n_levels, width), n, dtype=np.int32)
-    fill = np.zeros(n_levels, dtype=np.int64)
-    for i in range(n):
-        l = level[i]
-        rows[l, fill[l]] = i
-        fill[l] += 1
-    return TriSchedule(level_rows=rows, n=n, lower=lower)
+    offsets = np.zeros(n_levels + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    order = np.argsort(level, kind="stable").astype(np.int32)
+    order = np.concatenate([order, np.full(width, n, dtype=np.int32)])
+    return TriSchedule(
+        order=order, offsets=offsets, width=width, n=n, lower=lower
+    )
 
 
 def _level_solve_csr(
@@ -242,7 +248,9 @@ def _level_solve_csr(
     indptr, indices, data = mat.indptr, mat.indices, mat.data
     cap = mat.cap
     lower = sched.lower
-    level_rows = jnp.asarray(sched.level_rows)
+    width = sched.width
+    order = jnp.asarray(sched.order)
+    offsets = jnp.asarray(sched.offsets)
 
     def solve_row(i, x):
         i_c = jnp.minimum(i, n - 1)
@@ -260,7 +268,15 @@ def _level_solve_csr(
         return (b[i_c] - contrib) / diag
 
     def level_step(l, x):
-        rows = level_rows[l]  # (width,), padded with n
+        start = offsets[l]
+        cnt = offsets[l + 1] - start
+        # static-width window into the flat order (its width-sized pad
+        # tail guarantees start+width stays in range); rows past this
+        # level's extent mask to the sentinel n and drop on scatter
+        rows = jax.lax.dynamic_slice(order, (start,), (width,))
+        rows = jnp.where(
+            jnp.arange(width, dtype=cnt.dtype) < cnt, rows, n
+        )
         vals = jax.vmap(solve_row, in_axes=(0, None))(rows, x)
         return x.at[rows].set(vals, mode="drop")
 

@@ -82,6 +82,18 @@ def _bind(lib: ctypes.CDLL) -> None:
         _I32P,
     ]
     lib.sprs_ldl_pattern.restype = None
+    lib.sprs_ldl_pattern_flat.argtypes = [
+        _I32P,
+        _I32P,
+        ctypes.c_int64,
+        _I32P,
+        _I64P,
+        _I64P,
+        _I32P,
+        _I64P,
+        _I32P,
+    ]
+    lib.sprs_ldl_pattern_flat.restype = None
     lib.sprs_rcm.argtypes = [
         _I32P,
         _I32P,
@@ -253,6 +265,34 @@ def ldl_pattern(row_ptr, row_cols, n, parent, l_indptr, wl, lnz):
         l_indices,
     )
     return row_pattern, insert_pos, l_indices
+
+
+def ldl_pattern_flat(row_ptr, row_cols, n, parent, l_indptr, rp_indptr, lnz):
+    """Compact O(lnz) pattern: per-row update lists at ``rp_indptr[k]``.
+
+    The padded ``(n, wl)`` form of :func:`ldl_pattern` costs O(n*wl)
+    memory — tens of GB at 10^6 rows under fill-reducing orderings; this
+    is the at-scale path (the padded grid is derived lazily only for
+    the sequential scan numeric)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    total = int(rp_indptr[-1])
+    rp_cols = np.empty(max(total, 1), dtype=np.int32)
+    rp_slots = np.empty(max(total, 1), dtype=np.int64)
+    l_indices = np.empty(max(lnz, 1), dtype=np.int32)
+    lib.sprs_ldl_pattern_flat(
+        np.ascontiguousarray(row_ptr, np.int32),
+        np.ascontiguousarray(row_cols, np.int32),
+        n,
+        np.ascontiguousarray(parent, np.int32),
+        np.ascontiguousarray(l_indptr, np.int64),
+        np.ascontiguousarray(rp_indptr, np.int64),
+        rp_cols,
+        rp_slots,
+        l_indices,
+    )
+    return rp_cols[:total], rp_slots[:total], l_indices[:lnz]
 
 
 def rcm(indptr, indices, n, reversed_order=True):

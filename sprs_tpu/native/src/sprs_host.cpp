@@ -126,6 +126,50 @@ void sprs_ldl_pattern(const int32_t* row_ptr, const int32_t* row_cols,
   }
 }
 
+// Compact variant of sprs_ldl_pattern: each row k's topological update
+// list and insert slots are written at rp_indptr[k] (flat O(lnz)
+// output) instead of a padded (n, wl) grid.  The padded grid is
+// O(n*wl) and wl reaches the trailing dense-block width under
+// fill-reducing orderings (~sqrt(n) on 2-D meshes), which is tens of
+// GB at 10^6 rows; the flat form is the at-scale path and the padded
+// one is derived lazily only for the sequential scan numeric.
+// rp_indptr = exclusive prefix sum of row_count from sprs_ldl_symbolic.
+void sprs_ldl_pattern_flat(const int32_t* row_ptr, const int32_t* row_cols,
+                           int64_t n, const int32_t* parent,
+                           const int64_t* l_indptr,
+                           const int64_t* rp_indptr, int32_t* rp_cols,
+                           int64_t* rp_slots, int32_t* l_indices) {
+  std::vector<int32_t> flag(static_cast<size_t>(n), -1);
+  std::vector<int64_t> fill(static_cast<size_t>(n));
+  std::vector<int32_t> pat;
+  for (int64_t j = 0; j < n; ++j) {
+    fill[j] = l_indptr[j] + 1;  // slot after the unit diagonal
+    l_indices[l_indptr[j]] = static_cast<int32_t>(j);
+  }
+  for (int64_t k = 0; k < n; ++k) {
+    flag[k] = static_cast<int32_t>(k);
+    pat.clear();
+    for (int32_t p = row_ptr[k]; p < row_ptr[k + 1]; ++p) {
+      int32_t j = row_cols[p];
+      if (j >= k) continue;
+      while (flag[j] != static_cast<int32_t>(k)) {
+        pat.push_back(j);
+        flag[j] = static_cast<int32_t>(k);
+        j = parent[j];
+      }
+    }
+    std::sort(pat.begin(), pat.end());
+    int64_t base = rp_indptr[k];
+    for (size_t t = 0; t < pat.size(); ++t) {
+      int32_t j = pat[t];
+      rp_cols[base + static_cast<int64_t>(t)] = j;
+      rp_slots[base + static_cast<int64_t>(t)] = fill[j];
+      l_indices[fill[j]] = static_cast<int32_t>(k);
+      ++fill[j];
+    }
+  }
+}
+
 // Reverse Cuthill–McKee with George–Liu pseudo-peripheral starts.
 // Writes the permutation (new -> old) and component delimiters; returns
 // the number of connected components.  parts must have room for n+1.
