@@ -288,8 +288,12 @@ class LdlSymbolic:
     def wl(self) -> int:
         """Max per-row update-list length (padded width of the lazy
         ``row_pattern``/``insert_pos`` twins)."""
-        counts = np.diff(self.rp_indptr)
-        return max(int(counts.max()) if counts.size else 0, 1)
+        cached = self.__dict__.get("_wl")
+        if cached is None:
+            counts = np.diff(self.rp_indptr)
+            cached = max(int(counts.max()) if counts.size else 0, 1)
+            object.__setattr__(self, "_wl", cached)
+        return cached
 
     def _padded_pattern(self):
         """(n, wl) ``row_pattern``/``insert_pos`` twins of the flat
@@ -481,6 +485,16 @@ class LdlNumeric:
 
             lx, d = numeric_supernodal(sym.super_plan(), a.data)
             return cls(sym, lx, d)
+        if sym.n * sym.wl > 1 << 28:
+            # the scan numeric needs the padded (n, wl) pattern twins —
+            # O(n·wl) memory, wl ~ trailing dense-block width under
+            # fill-reducing orderings (tens of GB at 10^6 rows).  Fail
+            # loudly instead of thrashing the host.
+            raise LinalgError(
+                f"row-scan numeric needs a {sym.n}x{sym.wl} padded "
+                "pattern (too large); use backend='host', an iterative "
+                "solver, or a structure the supernodal plan accepts"
+            )
         lx, d = _numeric_device(sym, a.data)
         return cls(sym, lx, d)
 
