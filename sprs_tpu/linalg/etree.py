@@ -50,8 +50,13 @@ def etree_from_pattern(indptr: np.ndarray, indices: np.ndarray, n: int) -> np.nd
 
 
 def postorder(parent: np.ndarray) -> np.ndarray:
-    """Postorder traversal of an elimination forest."""
+    """Postorder traversal of an elimination forest (new -> old)."""
+    from .. import native
+
     n = parent.shape[0]
+    fast = native.etree_postorder(np.asarray(parent, np.int32), n)
+    if fast is not None:
+        return fast.astype(np.int64)
     children: list = [[] for _ in range(n)]
     roots = []
     for v in range(n):

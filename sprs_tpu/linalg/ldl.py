@@ -107,6 +107,7 @@ class LdlSymbolic:
         *,
         perm: Optional[Permutation] = None,
         check_symmetry: bool = True,
+        postorder: bool = False,
     ) -> "LdlSymbolic":
         if mat.shape[0] != mat.shape[1]:
             raise NonSquareMatrixError(f"LDLᵀ needs square, got {mat.shape}")
@@ -122,41 +123,77 @@ class LdlSymbolic:
         else:
             p = pinv = np.arange(n)
 
-        # --- permuted upper-row gather map (row k of PAPᵀ, cols <= k) ----
-        # Fully vectorized numpy — no per-row Python loops, so the
-        # symbolic phase survives 10^6-row inputs (round-1 weak spot).
-        cnt = (indptr[p + 1] - indptr[p]).astype(np.int64)
-        total = int(cnt.sum())
-        rowid = np.repeat(np.arange(n, dtype=np.int64), cnt)
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cnt, out=offs[1:])
-        # flat source position of every entry of every permuted row
-        pos = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(offs[:-1], cnt)
-            + np.repeat(indptr[p].astype(np.int64), cnt)
-        )
-        cols = pinv[indices[pos]].astype(np.int64)
-        keep = cols <= rowid  # upper triangle of PAPᵀ, row-wise
-        kept_row = rowid[keep]
-        kept_pos = pos[keep]
-        kept_col = cols[keep]
-        kcount = (
-            np.bincount(kept_row, minlength=n).astype(np.int64)
-            if n
-            else np.zeros(0, np.int64)
-        )
-        wa = max(int(kcount.max()) if n else 1, 1)
-        koffs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(kcount, out=koffs[1:])
-        # rank within row (kept entries stay sorted by row — stable mask)
-        rank = np.arange(kept_row.size, dtype=np.int64) - koffs[kept_row]
-        a_pos = np.zeros((n, wa), dtype=np.int64)
-        a_col = np.full((n, wa), n, dtype=np.int64)
-        a_live = np.zeros((n, wa), dtype=bool)
-        a_pos[kept_row, rank] = kept_pos
-        a_col[kept_row, rank] = kept_col
-        a_live[kept_row, rank] = True
+        def permuted_upper_maps(p, pinv):
+            """Gather maps for the upper rows of PAPᵀ (row k, cols ≤ k).
+
+            Fully vectorized numpy — no per-row Python loops, so the
+            symbolic phase survives 10^6-row inputs (round-1 weak spot).
+            """
+            cnt = (indptr[p + 1] - indptr[p]).astype(np.int64)
+            total = int(cnt.sum())
+            rowid = np.repeat(np.arange(n, dtype=np.int64), cnt)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cnt, out=offs[1:])
+            # flat source position of every entry of every permuted row
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs[:-1], cnt)
+                + np.repeat(indptr[p].astype(np.int64), cnt)
+            )
+            cols = pinv[indices[pos]].astype(np.int64)
+            keep = cols <= rowid  # upper triangle of PAPᵀ, row-wise
+            kept_row = rowid[keep]
+            kept_pos = pos[keep]
+            kept_col = cols[keep]
+            kcount = (
+                np.bincount(kept_row, minlength=n).astype(np.int64)
+                if n
+                else np.zeros(0, np.int64)
+            )
+            wa = max(int(kcount.max()) if n else 1, 1)
+            koffs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kcount, out=koffs[1:])
+            # rank within row (kept entries sorted by row — stable mask)
+            rank = (
+                np.arange(kept_row.size, dtype=np.int64)
+                - koffs[kept_row]
+            )
+            a_pos = np.zeros((n, wa), dtype=np.int64)
+            a_col = np.full((n, wa), n, dtype=np.int64)
+            a_live = np.zeros((n, wa), dtype=bool)
+            a_pos[kept_row, rank] = kept_pos
+            a_col[kept_row, rank] = kept_col
+            a_live[kept_row, rank] = True
+            return kept_col, koffs, a_pos, a_col, a_live
+
+        kept_col, koffs, a_pos, a_col, a_live = permuted_upper_maps(p, pinv)
+
+        if postorder and n:
+            # Postordering the etree is a fill-invariant relabeling
+            # (Liu): flops and lnz are untouched, but every etree
+            # subtree becomes a contiguous column range, which is what
+            # lets supernode amalgamation merge the bushy trees of
+            # AMD-class orderings into MXU-sized panels (CHOLMOD does
+            # the same).  Compose it into the permutation and rebuild
+            # the gather maps.
+            from .etree import etree_from_pattern, postorder as po
+
+            parent_pre = etree_from_pattern(koffs, kept_col, n)
+            post = po(parent_pre)
+            if not np.array_equal(post, np.arange(n)):
+                p = np.asarray(p)[post]
+                pinv = np.empty(n, dtype=np.int64)
+                pinv[p] = np.arange(n)
+                perm = Permutation.from_array(
+                    p.astype(np.int32), check=False
+                )
+                (
+                    kept_col,
+                    koffs,
+                    a_pos,
+                    a_col,
+                    a_live,
+                ) = permuted_upper_maps(p, pinv)
 
         # --- etree + column counts + row patterns (lib.rs:445-496) -------
         from .. import native
@@ -581,6 +618,7 @@ class Ldl:
     check_symmetry_flag: bool = True
     check_perm_flag: bool = True
     fill_red_method: str = FILL_NONE
+    postorder_flag: Optional[bool] = None  # None = auto (on for camd)
 
     def check_symmetry(self, flag: bool) -> "Ldl":
         self.check_symmetry_flag = flag
@@ -592,6 +630,15 @@ class Ldl:
 
     def fill_in_reduction(self, method: str) -> "Ldl":
         self.fill_red_method = method
+        return self
+
+    def postorder(self, flag: bool) -> "Ldl":
+        """Force etree postordering on/off (default: on for 'camd',
+        whose bushy etrees otherwise defeat supernode amalgamation;
+        off otherwise — it composes an extra relabeling into the
+        permutation, which exact-factor golden comparisons don't
+        expect).  Fill and flops are invariant either way."""
+        self.postorder_flag = flag
         return self
 
     def _perm(self, mat: CsMat) -> Optional[Permutation]:
@@ -606,10 +653,14 @@ class Ldl:
         raise ValueError(f"unknown fill-in reduction {self.fill_red_method!r}")
 
     def symbolic(self, mat: CsMat) -> LdlSymbolic:
+        po = self.postorder_flag
+        if po is None:
+            po = self.fill_red_method == FILL_CAMD
         return LdlSymbolic.from_matrix(
             mat,
             perm=self._perm(mat),
             check_symmetry=self.check_symmetry_flag,
+            postorder=po,
         )
 
     def numeric(self, mat: CsMat, *, backend: str = "auto") -> LdlNumeric:

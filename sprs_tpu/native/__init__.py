@@ -94,6 +94,8 @@ def _bind(lib: ctypes.CDLL) -> None:
         _I32P,
     ]
     lib.sprs_ldl_pattern_flat.restype = None
+    lib.sprs_etree_postorder.argtypes = [_I32P, ctypes.c_int64, _I32P]
+    lib.sprs_etree_postorder.restype = None
     lib.sprs_rcm.argtypes = [
         _I32P,
         _I32P,
@@ -265,6 +267,19 @@ def ldl_pattern(row_ptr, row_cols, n, parent, l_indptr, wl, lnz):
         l_indices,
     )
     return row_pattern, insert_pos, l_indices
+
+
+def etree_postorder(parent, n):
+    """Postorder permutation (new -> old) of an elimination tree, or
+    None without the native library (callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    post = np.empty(max(n, 1), dtype=np.int32)
+    lib.sprs_etree_postorder(
+        np.ascontiguousarray(parent, np.int32), n, post
+    )
+    return post[:n]
 
 
 def ldl_pattern_flat(row_ptr, row_cols, n, parent, l_indptr, rp_indptr, lnz):

@@ -126,6 +126,52 @@ void sprs_ldl_pattern(const int32_t* row_ptr, const int32_t* row_cols,
   }
 }
 
+// Postorder of an elimination tree (parent[k] > k or -1 for roots).
+// Writes post (new -> old): post[i] is the i-th node visited in a DFS
+// that exhausts each child subtree before its parent, children in
+// ascending order.  Postordering is a fill-invariant relabeling of the
+// factor (Liu); it makes every etree subtree a contiguous column range,
+// which is what lets supernode amalgamation merge bushy (AMD-ordered)
+// trees into MXU-sized panels.
+void sprs_etree_postorder(const int32_t* parent, int64_t n, int32_t* post) {
+  // child lists via counting sort (ascending child order preserved)
+  std::vector<int64_t> head(static_cast<size_t>(n) + 1, 0);
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t p = parent[k] >= 0 ? parent[k] : n;  // roots under slot n
+    ++head[p];
+  }
+  std::vector<int64_t> offs(static_cast<size_t>(n) + 2, 0);
+  for (int64_t i = 0; i <= n; ++i) offs[i + 1] = offs[i] + head[i];
+  std::vector<int32_t> child(static_cast<size_t>(n));
+  std::vector<int64_t> fill(offs.begin(), offs.end() - 1);
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t p = parent[k] >= 0 ? parent[k] : n;
+    child[fill[p]++] = static_cast<int32_t>(k);
+  }
+  // iterative DFS; stack entry = (node, next-child cursor)
+  std::vector<int64_t> stack_node, stack_cur;
+  stack_node.reserve(64);
+  stack_cur.reserve(64);
+  int64_t out = 0;
+  for (int64_t r = offs[n]; r < offs[n + 1]; ++r) {
+    stack_node.push_back(child[r]);
+    stack_cur.push_back(offs[child[r]]);
+    while (!stack_node.empty()) {
+      int64_t v = stack_node.back();
+      int64_t& cur = stack_cur.back();
+      if (cur < offs[v + 1]) {
+        int32_t c = child[cur++];
+        stack_node.push_back(c);
+        stack_cur.push_back(offs[c]);
+      } else {
+        post[out++] = static_cast<int32_t>(v);
+        stack_node.pop_back();
+        stack_cur.pop_back();
+      }
+    }
+  }
+}
+
 // Compact variant of sprs_ldl_pattern: each row k's topological update
 // list and insert slots are written at rp_indptr[k] (flat O(lnz)
 // output) instead of a padded (n, wl) grid.  The padded grid is
