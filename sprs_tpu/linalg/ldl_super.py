@@ -47,7 +47,7 @@ from jax import lax
 
 from ..errors import LinalgError
 from ..formats.util import INDEX_DTYPE
-from .supernodes import amalgamate, fundamental_supernodes
+from .supernodes import amalgamate_union
 
 
 class SupernodalPlanError(LinalgError):
@@ -95,7 +95,7 @@ def build_super_plan(
     *,
     max_width: int = 128,
     max_zeros: int = 32,
-    rel_zeros: float = 0.125,
+    rel_zeros: float = 0.65,
     panel_limit: int = 1 << 28,
     map_limit: int = 1 << 26,
 ) -> SuperPlan:
@@ -112,9 +112,14 @@ def build_super_plan(
     lp = np.asarray(sym.l_indptr, dtype=np.int64)
     li = np.asarray(sym.l_indices, dtype=np.int64)
     col_size = np.diff(lp)
-    sn = fundamental_supernodes(np.asarray(sym.parent), col_size)
-    sn = amalgamate(
-        sn,
+    # union-structure relaxed amalgamation (CHOLMOD-class): every
+    # contiguous partition is exact, so bushy (AMD+postorder) etrees
+    # merge into MXU-sized panels too — the chain-rule variant left
+    # them at width ~1-2.  below structure comes back as the union
+    # lists (ascending per supernode).
+    sn, below_ptr, below_flat = amalgamate_union(
+        lp,
+        li,
         np.asarray(sym.parent),
         col_size,
         max_zeros=max_zeros,
@@ -128,18 +133,8 @@ def build_super_plan(
     c1 = ptr[1:].astype(np.int64)
     w = c1 - c0
     W = _ceil8(int(w.max()))
-
-    # below-block structure of each supernode = struct of its LAST column
-    counts = lp[c1] - lp[c1 - 1] - 1  # below-rows of column c1-1
-    below_ptr = np.zeros(S + 1, dtype=np.int64)
-    np.cumsum(counts, out=below_ptr[1:])
+    counts = np.diff(below_ptr)
     total_below = int(below_ptr[-1])
-    idx = (
-        np.arange(total_below, dtype=np.int64)
-        - np.repeat(below_ptr[:-1], counts)
-        + np.repeat(lp[c1 - 1] + 1, counts)
-    )
-    below_flat = li[idx]
     rows = w + counts
     MR = max(_ceil8(int(rows.max())), W)
     off = np.zeros(S + 1, dtype=np.int64)
@@ -346,7 +341,14 @@ def numeric_supernodal(plan: SuperPlan, data: jax.Array):
             colv = M[:, j]
             dj = colv[j]
             lcol = jnp.where(colsW > j, colv / dj, 0).at[j].set(1)
-            rowv = jnp.where(colsW > j, colv, 0)
+            # rowv masked to LIVE columns: the top block carries below
+            # rows in slots [ws, W) whenever the panel is narrower than
+            # W; their cross-terms belong to later supernodes (the
+            # _update tasks recompute them) and must not accumulate in
+            # the masked columns — a masked column that drifted to an
+            # exactly-zero pivot turned lcol into inf and the next
+            # outer product sprayed inf*0 = NaN into REAL columns.
+            rowv = jnp.where((colsW > j) & live_col, colv, 0)
             M = M - jnp.outer(lcol, rowv)
             M = M.at[:, j].set(jnp.where(colsW >= j, lcol, 0))
             dv = dv.at[j].set(dj)

@@ -138,6 +138,97 @@ def amalgamate(
     return Supernodes(ptr=ptr_arr, of=of)
 
 
+def amalgamate_union(
+    l_indptr,
+    l_indices,
+    parent: np.ndarray,
+    colcount: np.ndarray,
+    *,
+    max_width: int = 128,
+    max_zeros: int = 32,
+    rel_zeros: float = 0.65,
+):
+    """CHOLMOD-class relaxed amalgamation with per-supernode row-structure
+    UNIONS.
+
+    ``rel_zeros`` is a pure perf knob (exactness holds for any
+    contiguous partition): explicit zeros cost dense MXU flops —
+    nearly free — while fatter panels amortize per-task dispatch, so
+    the TPU default is loose (0.65 of panel entries; 0.125 produced
+    width-40 panels on banded rcm factors and thousands of width-5
+    panels on AMD factors).
+
+    The chain-rule :func:`amalgamate` can only merge a supernode whose
+    last column's etree parent is the next block's first column, and its
+    panels inherit the LAST column's below structure — sound, but on
+    bushy (AMD-ordered, postordered) etrees it leaves thousands of
+    width-1..2 supernodes.  With the panel below-structure defined as
+    the UNION of the member columns' structures, ANY contiguous column
+    partition yields an exact factorization (each column's true pattern
+    is contained in its panel's pattern, and padded entries stay exactly
+    0.0 — see ldl_super.py's exactness argument), so merging is limited
+    only by the explicit-zero budget and ``max_width``.
+
+    Returns ``(Supernodes, below_ptr, below_flat)`` where
+    ``below_flat[below_ptr[s]:below_ptr[s+1]]`` are supernode s's
+    below-diagonal-block rows, ascending.
+    """
+    colcount = np.asarray(colcount)
+    n = colcount.shape[0]
+    l_indptr = np.asarray(l_indptr)
+    l_indices = np.asarray(l_indices)
+    sn = fundamental_supernodes(np.asarray(parent), colcount)
+    ptr = sn.ptr
+    S0 = sn.n_snodes
+    # fundamental supernode below rows = struct(first col) ∩ [c1, ∞):
+    # later member columns' structures are suffixes of the first's.
+    blocks = []
+    for s in range(S0):
+        c0, c1 = int(ptr[s]), int(ptr[s + 1])
+        col = l_indices[l_indptr[c0] + 1 : l_indptr[c0 + 1]]
+        rows = col[col >= c1]
+        blocks.append(
+            [c0, c1, rows, int(colcount[c0:c1].sum())]
+        )
+    for _ in range(4):  # merge passes until fixpoint (bounded)
+        out = []
+        changed = False
+        for b in blocks:
+            if not out:
+                out.append(b)
+                continue
+            a = out[-1]
+            w_new = b[1] - a[0]
+            if w_new <= max_width:
+                rows_hi = a[2][a[2] >= b[1]]
+                rows_new = np.union1d(rows_hi, b[2])
+                tn = a[3] + b[3]
+                ent = w_new * (w_new + 1) // 2 + w_new * rows_new.size
+                zeros = ent - tn
+                if zeros <= max_zeros or zeros <= rel_zeros * ent:
+                    out[-1] = [a[0], b[1], rows_new, tn]
+                    changed = True
+                    continue
+            out.append(b)
+        blocks = out
+        if not changed:
+            break
+    ptr_arr = np.asarray(
+        [b[0] for b in blocks] + [n], dtype=np.int64
+    )
+    of = np.zeros(n, dtype=np.int64)
+    of[ptr_arr[1:-1]] = 1
+    of = np.cumsum(of)
+    below_ptr = np.zeros(len(blocks) + 1, dtype=np.int64)
+    np.cumsum([b[2].size for b in blocks], out=below_ptr[1:])
+    below_flat = (
+        np.concatenate([b[2] for b in blocks])
+        if blocks
+        else np.zeros(0, dtype=np.int64)
+    ).astype(np.int64)
+    return Supernodes(ptr=ptr_arr, of=of), below_ptr, below_flat
+
+
 def supernode_structure(l_indptr, l_indices, sn: Supernodes):
     """Padded per-supernode row structure from L's (CSC) pattern.
 

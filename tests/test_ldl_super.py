@@ -166,3 +166,62 @@ class TestSuperPlan:
         sym = LdlSymbolic.from_matrix(mat)
         with pytest.raises(SupernodalPlanError):
             build_super_plan(sym, panel_limit=16)
+
+
+class TestUnionAmalgamation:
+    def test_camd_postorder_supernodal_exact(self):
+        # regression: union-amalgamated panels carry below rows in the
+        # top block whenever w < W; their cross-terms used to drift the
+        # masked columns to an exactly-zero pivot on integer-valued
+        # Laplacian data, and the inf pivot sprayed inf*0 = NaN into
+        # real columns (first seen on the 12x12 camd-ordered grid).
+        import jax.numpy as jnp
+
+        from sprs_tpu.linalg.ldl import _numeric_host
+        from sprs_tpu.linalg.ldl_super import numeric_supernodal
+
+        for g, fill in ((12, "camd"), (16, "camd"), (16, "rcm")):
+            mat = dirichlet_laplacian((g, g))
+            sym = (
+                Ldl()
+                .fill_in_reduction(fill)
+                .check_symmetry(False)
+                .symbolic(mat)
+            )
+            data = np.asarray(mat.to_csr().data, np.float64)
+            lx_h, d_h = _numeric_host(sym, data)
+            plan = sym.super_plan()
+            lx_s, d_s = numeric_supernodal(plan, jnp.asarray(data))
+            assert np.isfinite(np.asarray(lx_s)).all()
+            np.testing.assert_allclose(
+                np.asarray(lx_s), lx_h, rtol=0, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_s), d_h, rtol=0, atol=1e-12
+            )
+
+    def test_union_lists_cover_member_columns(self):
+        from sprs_tpu.linalg.supernodes import amalgamate_union
+
+        mat = dirichlet_laplacian((14, 14))
+        sym = (
+            Ldl()
+            .fill_in_reduction("camd")
+            .check_symmetry(False)
+            .symbolic(mat)
+        )
+        lp = np.asarray(sym.l_indptr)
+        li = np.asarray(sym.l_indices)
+        sn, bptr, bflat = amalgamate_union(
+            lp, li, np.asarray(sym.parent), np.diff(lp)
+        )
+        for s in range(sn.n_snodes):
+            c0, c1 = int(sn.ptr[s]), int(sn.ptr[s + 1])
+            rows = set(bflat[bptr[s] : bptr[s + 1]].tolist())
+            # ascending, no duplicates
+            seg = bflat[bptr[s] : bptr[s + 1]]
+            assert (np.diff(seg) > 0).all() if seg.size > 1 else True
+            for j in range(c0, c1):
+                below = li[lp[j] : lp[j + 1]]
+                below = below[below >= c1]
+                assert set(below.tolist()) <= rows, (s, j)
