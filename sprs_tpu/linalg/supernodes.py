@@ -182,14 +182,25 @@ def amalgamate_union(
     S0 = sn.n_snodes
     # fundamental supernode below rows = struct(first col) ∩ [c1, ∞):
     # later member columns' structures are suffixes of the first's.
+    # Fundamentals wider than max_width (the dense trailing block of a
+    # fill-reducing ordering reaches ~sqrt(n)) are SPLIT into
+    # max_width-column strips — any contiguous partition is exact, and
+    # an unsplit block would set the global panel row-stride W to its
+    # width, multiplying every panel's storage.  A strip's below rows
+    # are [strip_end, c1) ∪ (below ∩ [strip_end, ∞)): inside a
+    # fundamental the diagonal block is full lower-triangular, so
+    # struct(first strip col) ∩ [strip_end, ∞) is exactly the first
+    # fundamental column's struct restricted to [strip_end, ∞).
+    ccum = np.zeros(colcount.shape[0] + 1, dtype=np.int64)
+    np.cumsum(colcount, out=ccum[1:])
     blocks = []
     for s in range(S0):
-        c0, c1 = int(ptr[s]), int(ptr[s + 1])
-        col = l_indices[l_indptr[c0] + 1 : l_indptr[c0 + 1]]
-        rows = col[col >= c1]
-        blocks.append(
-            [c0, c1, rows, int(colcount[c0:c1].sum())]
-        )
+        c0f, c1f = int(ptr[s]), int(ptr[s + 1])
+        col = l_indices[l_indptr[c0f] + 1 : l_indptr[c0f + 1]]
+        for c0 in range(c0f, c1f, max_width):
+            c1 = min(c0 + max_width, c1f)
+            rows = col[col >= c1]
+            blocks.append([c0, c1, rows, int(ccum[c1] - ccum[c0])])
     for _ in range(4):  # merge passes until fixpoint (bounded)
         out = []
         changed = False
