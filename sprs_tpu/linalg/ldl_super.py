@@ -97,7 +97,7 @@ def build_super_plan(
     max_zeros: int = 32,
     rel_zeros: float = 0.65,
     panel_limit: int = 1 << 28,
-    map_limit: int = 1 << 26,
+    map_limit: int = 1 << 27,
 ) -> SuperPlan:
     """Build the supernodal schedule from an ``LdlSymbolic``.
 
@@ -200,8 +200,20 @@ def build_super_plan(
         )
 
     # --- per-pair row map: target row-slot -> descendant panel row-slot
-    slots = np.arange(MR, dtype=np.int64)
+    from .. import native
+
     if npairs:
+        rmap = native.super_rmap(
+            pair_d, pair_t, c0, w, below_ptr, below_flat, MR
+        )
+        if rmap is not None:
+            rmap = rmap.astype(np.int64)
+    else:
+        rmap = np.zeros((0, MR), dtype=np.int64)
+    if npairs and rmap is None:
+        # numpy fallback: broadcast (npairs, MR) membership queries —
+        # measured 32 s vs <1 s for the C++ merges at 262k rows
+        slots = np.arange(MR, dtype=np.int64)
         tw = w[pair_t][:, None]
         trows = rows[pair_t][:, None]
         g_diag = c0[pair_t][:, None] + slots[None, :]
@@ -218,8 +230,6 @@ def build_super_plan(
             np.broadcast_to(pair_d[:, None], g.shape), g
         )
         rmap = np.where(dfound, dslot, MR)
-    else:
-        rmap = np.zeros((0, MR), dtype=np.int64)
 
     # --- task schedule: for each target s ascending, its updates
     # (descendants ascending) then its factor step -----------------------

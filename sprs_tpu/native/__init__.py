@@ -96,6 +96,18 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.sprs_ldl_pattern_flat.restype = None
     lib.sprs_etree_postorder.argtypes = [_I32P, ctypes.c_int64, _I32P]
     lib.sprs_etree_postorder.restype = None
+    lib.sprs_super_rmap.argtypes = [
+        _I64P,
+        _I64P,
+        ctypes.c_int64,
+        _I64P,
+        _I64P,
+        _I64P,
+        _I64P,
+        ctypes.c_int64,
+        _I32P,
+    ]
+    lib.sprs_super_rmap.restype = None
     lib.sprs_rcm.argtypes = [
         _I32P,
         _I32P,
@@ -267,6 +279,28 @@ def ldl_pattern(row_ptr, row_cols, n, parent, l_indptr, wl, lnz):
         l_indices,
     )
     return row_pattern, insert_pos, l_indices
+
+
+def super_rmap(pair_d, pair_t, c0, w, below_ptr, below_flat, MR):
+    """(npairs, MR) supernodal update row maps via two-pointer merges,
+    or None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    npairs = pair_d.shape[0]
+    rmap = np.empty((max(npairs, 1), MR), dtype=np.int32)
+    lib.sprs_super_rmap(
+        np.ascontiguousarray(pair_d, np.int64),
+        np.ascontiguousarray(pair_t, np.int64),
+        npairs,
+        np.ascontiguousarray(c0, np.int64),
+        np.ascontiguousarray(w, np.int64),
+        np.ascontiguousarray(below_ptr, np.int64),
+        np.ascontiguousarray(below_flat, np.int64),
+        MR,
+        rmap,
+    )
+    return rmap[:npairs]
 
 
 def etree_postorder(parent, n):

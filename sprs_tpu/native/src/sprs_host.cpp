@@ -216,6 +216,47 @@ void sprs_ldl_pattern_flat(const int32_t* row_ptr, const int32_t* row_cols,
   }
 }
 
+// Per-update-pair row map for the supernodal LDL numeric: for pair p
+// (descendant d -> target t), rmap[p*MR + slot] is the row index inside
+// d's panel holding the same global row as target panel slot `slot`, or
+// MR (the zero-pad row) when the target row is not in d's below
+// structure.  Target panel rows are the diagonal block [c0[t], c0[t]+
+// w[t]) followed by below_flat[below_ptr[t]:below_ptr[t+1]] — both
+// ascending, diag < below — so one two-pointer merge of d's below list
+// against the target row list fills the row in O(|below(d)| + rows[t])
+// (the numpy fallback broadcasts (T, MR) membership queries instead:
+// measured 32 s vs <1 s at 262k rows).
+void sprs_super_rmap(const int64_t* pair_d, const int64_t* pair_t,
+                     int64_t npairs, const int64_t* c0, const int64_t* w,
+                     const int64_t* below_ptr, const int64_t* below_flat,
+                     int64_t MR, int32_t* rmap) {
+  for (int64_t p = 0; p < npairs; ++p) {
+    const int64_t d = pair_d[p], t = pair_t[p];
+    int32_t* out = rmap + p * MR;
+    for (int64_t s = 0; s < MR; ++s) out[s] = static_cast<int32_t>(MR);
+    const int64_t* db = below_flat + below_ptr[d];
+    const int64_t dn = below_ptr[d + 1] - below_ptr[d];
+    const int64_t wd = w[d];
+    const int64_t tw = w[t];
+    const int64_t tb0 = below_ptr[t];
+    const int64_t tn = below_ptr[t + 1] - tb0;
+    int64_t i = 0;  // cursor into d's below list
+    // diagonal-block slots: global rows c0[t] .. c0[t]+tw-1, ascending
+    for (int64_t s = 0; s < tw && i < dn; ++s) {
+      const int64_t g = c0[t] + s;
+      while (i < dn && db[i] < g) ++i;
+      if (i < dn && db[i] == g) out[s] = static_cast<int32_t>(wd + i);
+    }
+    // below slots: ascending rows >= c1[t] > any diag row
+    for (int64_t s = 0; s < tn && i < dn; ++s) {
+      const int64_t g = below_flat[tb0 + s];
+      while (i < dn && db[i] < g) ++i;
+      if (i < dn && db[i] == g)
+        out[tw + s] = static_cast<int32_t>(wd + i);
+    }
+  }
+}
+
 // Reverse Cuthill–McKee with George–Liu pseudo-peripheral starts.
 // Writes the permutation (new -> old) and component delimiters; returns
 // the number of connected components.  parts must have room for n+1.
