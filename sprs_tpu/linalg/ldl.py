@@ -585,17 +585,39 @@ class LdlNumeric:
         return self.symbolic.n
 
     # -- solve (lib.rs:388-410) -------------------------------------------------
-    def solve(self, b) -> jax.Array:
+    def solve(self, b, *, method: str = "levels") -> jax.Array:
+        """``method='levels'`` (default): level-scheduled simplicial
+        solves.  ``method='super'``: supernodal panel solves — one scan
+        over supernodes with (W,W) in-block triangular solves and
+        (MR,W) panel matvecs; O(lnz) traffic where the level solve's
+        per-row window reaches the trailing dense-block width on
+        fill-reducing orderings."""
         b = jnp.asarray(b)
         s = self.symbolic
         if b.shape[0] != s.n:
             raise ShapeError(f"rhs dim {b.shape} vs n={s.n}")
         if b.ndim == 2:
-            return jax.vmap(self.solve, in_axes=1, out_axes=1)(b)
+            return jax.vmap(
+                lambda col: self.solve(col, method=method),
+                in_axes=1,
+                out_axes=1,
+            )(b)
         x = b if s.perm is None else b[jnp.asarray(s.perm.perm)]
-        x = _level_solve_csr(self.l_csr(), x, s.sched_lower)
-        x = x / self.d
-        x = _level_solve_csr(self.lt(), x, s.sched_upper)
+        if method == "super":
+            from .ldl_super import panels_from_csc, solve_supernodal
+
+            plan = s.super_plan()
+            panels = self.__dict__.get("_panels")
+            if panels is None or panels.dtype != self.l_data.dtype:
+                panels = panels_from_csc(plan, self.l_data)
+                object.__setattr__(self, "_panels", panels)
+            x = solve_supernodal(plan, panels, self.d, x)
+        elif method == "levels":
+            x = _level_solve_csr(self.l_csr(), x, s.sched_lower)
+            x = x / self.d
+            x = _level_solve_csr(self.lt(), x, s.sched_upper)
+        else:
+            raise ValueError(f"unknown solve method {method!r}")
         if s.perm is not None:
             x = x[jnp.asarray(s.perm.inv)]
         return x

@@ -84,6 +84,12 @@ class SuperPlan:
     #   (MR = "no shared row": gathers the zero pad row)
     # extraction: CSC slot -> flat panel position
     csc_gather: np.ndarray  # (lnz,)
+    # below-row structure (for the panel solves): supernode s's below
+    # rows are below_flat[below_ptr[s]:below_ptr[s+1]], ascending;
+    # below_flat carries an MR-sized sentinel (n) tail so static-width
+    # dynamic_slices never clamp.
+    below_ptr: np.ndarray  # (S+1,)
+    below_flat: np.ndarray  # (total_below + MR,)
 
     @property
     def n_tasks(self) -> int:
@@ -287,6 +293,10 @@ def build_super_plan(
         t_dst=t_dst,
         t_rmap=t_rmap,
         csc_gather=csc_gather,
+        below_ptr=below_ptr,
+        below_flat=np.concatenate(
+            [below_flat, np.full(MR, n, dtype=np.int64)]
+        ),
     )
 
 
@@ -410,3 +420,108 @@ def numeric_supernodal(plan: SuperPlan, data: jax.Array):
     (Lp, dext), _ = lax.scan(body, (Lp0, dext0), xs)
     lx = Lp[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
     return lx, dext[:n]
+
+
+def panels_from_csc(plan: SuperPlan, l_data: jax.Array) -> jax.Array:
+    """Rebuild the flat panel array from CSC-slot factor values (one
+    scatter; padded positions stay 0, which the solves rely on)."""
+    return (
+        jnp.zeros((plan.P,), l_data.dtype)
+        .at[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
+        .set(l_data)
+    )
+
+
+def solve_supernodal(
+    plan: SuperPlan, panels: jax.Array, d: jax.Array, b: jax.Array
+) -> jax.Array:
+    """x = (L D Lᵀ)⁻¹ b on the supernodal panels (jittable).
+
+    The level-scheduled simplicial solve's per-row window is the max
+    L-row nnz — which reaches the trailing dense-block width on
+    fill-reducing orderings, making it O(n·√n) gathers.  The panel
+    solve is one scan over supernodes: a (W,W) in-block triangular
+    solve plus an (MR,W) panel matvec per step, with the below-row
+    coupling as one MR-wide gather/scatter — O(lnz) total traffic.
+    Callers apply the fill-reducing permutation outside (as in
+    ``LdlNumeric.solve``).
+    """
+    n, S, W, MR = plan.n, plan.S, plan.W, plan.MR
+    dtype = panels.dtype
+    colsW = jnp.arange(W, dtype=INDEX_DTYPE)
+    rowsMR = jnp.arange(MR, dtype=INDEX_DTYPE)
+    off_a = jnp.asarray(plan.off, dtype=INDEX_DTYPE)
+    c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
+    w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
+    rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
+    bptr_a = jnp.asarray(plan.below_ptr, dtype=INDEX_DTYPE)
+    bflat = jnp.asarray(plan.below_flat, dtype=INDEX_DTYPE)
+    eyeW = jnp.eye(W, dtype=dtype)
+    zerosW = jnp.zeros((W,), dtype)
+
+    def load(s):
+        off_s = off_a[s]
+        ws = w_a[s]
+        rs = rows_a[s]
+        panel = lax.dynamic_slice(panels, (off_s,), (MR * W,)).reshape(
+            MR, W
+        )
+        live_col = colsW < ws
+        live_row = rowsMR < rs
+        panel = jnp.where(live_row[:, None] & live_col[None, :], panel, 0)
+        # in-block W×W system: identity outside the live w×w corner
+        blk = jnp.where(
+            (colsW[:, None] < ws) & live_col[None, :],
+            panel[:W, :],
+            eyeW,
+        )
+        # below-row ids for panel slots ws.. (static MR window)
+        ids = lax.dynamic_slice(bflat, (bptr_a[s],), (MR,))
+        return panel, blk, ids, ws
+
+    def fwd_step(y, s):
+        panel, blk, ids, ws = load(s)
+        c0 = c0_a[s]
+        yd = lax.dynamic_slice(y, (c0,), (W,))
+        sol = lax.linalg.triangular_solve(
+            blk, yd[:, None], left_side=True, lower=True,
+            unit_diagonal=True,
+        )[:, 0]
+        yd_new = jnp.where(colsW < ws, sol, yd)
+        y = lax.dynamic_update_slice(y, yd_new, (c0,))
+        # below-row coupling: y[r] -= Σ_j L[r, c0+j] · sol[j]
+        u = panel @ jnp.where(colsW < ws, sol, 0)
+        u_shift = lax.dynamic_slice(
+            jnp.concatenate([u, jnp.zeros((W,), dtype)]), (ws,), (MR,)
+        )
+        y = y.at[ids].add(-u_shift, mode="drop")
+        return y, None
+
+    def bwd_step(x, s):
+        panel, blk, ids, ws = load(s)
+        c0 = c0_a[s]
+        xg = x[jnp.minimum(ids, n - 1)]
+        xg = jnp.where(ids < n, xg, 0)
+        # shift below values into panel slots ws.. then contract
+        x_ext = lax.dynamic_slice(
+            jnp.concatenate([jnp.zeros((W,), dtype), xg]),
+            (W - ws,),
+            (MR,),
+        )
+        contrib = x_ext @ panel  # (W,)
+        xd = lax.dynamic_slice(x, (c0,), (W,))
+        sol = lax.linalg.triangular_solve(
+            blk, (xd - contrib)[:, None], left_side=True, lower=True,
+            transpose_a=True, unit_diagonal=True,
+        )[:, 0]
+        xd_new = jnp.where(colsW < ws, sol, xd)
+        return lax.dynamic_update_slice(x, xd_new, (c0,)), None
+
+    b = jnp.asarray(b)
+    # W-slack so the per-supernode dynamic slices never clamp
+    y = jnp.concatenate([b.astype(dtype), zerosW])
+    svec = jnp.arange(S, dtype=INDEX_DTYPE)
+    y, _ = lax.scan(fwd_step, y, svec)
+    y = y.at[:n].set(y[:n] / d)
+    x, _ = lax.scan(bwd_step, y, svec, reverse=True)
+    return x[:n]

@@ -225,3 +225,52 @@ class TestUnionAmalgamation:
                 below = li[lp[j] : lp[j + 1]]
                 below = below[below >= c1]
                 assert set(below.tolist()) <= rows, (s, j)
+
+
+class TestSupernodalSolve:
+    def test_matches_level_solve_and_oracle(self):
+        import jax
+
+        rng = np.random.default_rng(3)
+        for g, fill in ((8, "rcm"), (12, "camd"), (16, "camd")):
+            mat = dirichlet_laplacian((g, g))
+            dense = np.asarray(mat.to_dense())
+            num = (
+                Ldl()
+                .fill_in_reduction(fill)
+                .check_symmetry(False)
+                .numeric(mat)
+            )
+            b = rng.random(dense.shape[0]).astype(np.float32)
+            x_lv = np.asarray(num.solve(b))
+            x_sp = np.asarray(num.solve(b, method="super"))
+            np.testing.assert_allclose(x_sp, x_lv, rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(
+                dense @ x_sp, b, rtol=1e-3, atol=1e-3
+            )
+        # jittable end-to-end
+        mat = dirichlet_laplacian((10, 10))
+        num = Ldl().fill_in_reduction("camd").numeric(mat)
+        b = np.linspace(1, 2, mat.shape[0]).astype(np.float32)
+        f = jax.jit(lambda v: num.solve(v, method="super"))
+        np.testing.assert_allclose(
+            np.asarray(f(b)),
+            np.asarray(num.solve(b)),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+
+    def test_multi_rhs(self):
+        rng = np.random.default_rng(5)
+        d0 = rng.random((40, 40)) * (rng.random((40, 40)) < 0.2)
+        spd = d0 @ d0.T + np.eye(40) * 40
+        mat = st.from_dense(spd)
+        num = (
+            Ldl()
+            .fill_in_reduction("camd")
+            .check_symmetry(False)
+            .numeric(mat)
+        )
+        B = rng.random((40, 3))
+        X = np.asarray(num.solve(B, method="super"))
+        assert np.abs(spd @ X - B).max() < 1e-5
