@@ -37,10 +37,10 @@ def health_reference():
     return dt
 
 
-def prep(grid):
+def prep(grid, fill="rcm"):
     mat = dirichlet_laplacian((grid, grid))
     t0 = time.perf_counter()
-    sym = Ldl().fill_in_reduction("rcm").check_symmetry(False).symbolic(mat)
+    sym = Ldl().fill_in_reduction(fill).check_symmetry(False).symbolic(mat)
     t_sym = time.perf_counter() - t0
     a = mat.to_csr()
     return mat, sym, a, t_sym
@@ -60,6 +60,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scan-iters", type=int, default=2)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--fill", default="rcm", choices=["rcm", "camd", "none"])
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
@@ -70,7 +71,8 @@ def main():
     out["health_us"] = round(h * 1e6, 1)
     print(f"# health reference: {h*1e6:.0f} us/iter (want ~sub-ms)", flush=True)
 
-    mat, sym, a, t_sym = prep(args.grid)
+    mat, sym, a, t_sym = prep(args.grid, args.fill)
+    out["fill"] = args.fill
     n = sym.n
     out["n"] = n
     out["lnz"] = sym.nnz
@@ -101,6 +103,29 @@ def main():
     out["supernodal_gflops"] = round(fl / t_sup / 1e9, 2)
     print(f"supernodal: {t_sup*1e3:.1f} ms/refactor "
           f"({fl/t_sup/1e9:.1f} useful GFLOP/s)", flush=True)
+
+    # solve timings: level-scheduled vs supernodal panel solve (chained)
+    num = sym.factor(mat, backend="supernodal")
+    b0 = jnp.asarray(
+        np.linspace(1.0, 2.0, n).astype(np.float32)
+    ).astype(dtype)
+    for meth in ("levels", "super"):
+        try:
+            t_sol = chain_time_best(
+                jax.jit(
+                    lambda v, m=meth: num.solve(
+                        v / (1.0 + jnp.abs(v[0])), method=m
+                    )
+                ),
+                b0,
+                iters=max(args.iters, 5),
+                rounds=3,
+            )
+            out[f"solve_{meth}_s"] = t_sol
+            print(f"solve[{meth}]: {t_sol*1e3:.2f} ms", flush=True)
+        except Exception as e:  # level solve may OOM on fill-heavy factors
+            out[f"solve_{meth}_s"] = None
+            print(f"solve[{meth}]: failed ({e})", flush=True)
 
     # row-scan baseline (optionally smaller grid if the full size is
     # prohibitively slow -- report normalized per-flop time too)

@@ -133,6 +133,23 @@ def main():
             ],
             2400,
         ),
+        (
+            "ldl256_camd",
+            [
+                py,
+                "-u",
+                "benches/ldl_bench.py",
+                "--grid",
+                "256",
+                "--fill",
+                "camd",
+                "--scan-iters",
+                "0",
+                "--json",
+                os.path.join(OUT, "ldl_256_camd.json"),
+            ],
+            2400,
+        ),
         ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
         (
             "spgemm_sweep",
