@@ -585,15 +585,24 @@ class LdlNumeric:
         return self.symbolic.n
 
     # -- solve (lib.rs:388-410) -------------------------------------------------
-    def solve(self, b, *, method: str = "levels") -> jax.Array:
-        """``method='levels'`` (default): level-scheduled simplicial
-        solves.  ``method='super'``: supernodal panel solves — one scan
-        over supernodes with (W,W) in-block triangular solves and
-        (MR,W) panel matvecs; O(lnz) traffic where the level solve's
-        per-row window reaches the trailing dense-block width on
-        fill-reducing orderings."""
+    def solve(self, b, *, method: str = "auto") -> jax.Array:
+        """``method='levels'``: level-scheduled simplicial solves.
+        ``method='super'``: supernodal panel solves — one scan over
+        supernodes with (W,W) in-block triangular solves and (MR,W)
+        panel matvecs; O(lnz) traffic where the level solve's per-row
+        window reaches the trailing dense-block width on fill-reducing
+        orderings (measured 865x on a camd factor's solve).
+        ``'auto'`` (default) picks 'super' when a supernodal plan is
+        already cached on the symbolic (i.e. the factorization itself
+        ran on panels), 'levels' otherwise."""
         b = jnp.asarray(b)
         s = self.symbolic
+        if method == "auto":
+            method = (
+                "super"
+                if s.__dict__.get("_super_plan") is not None
+                else "levels"
+            )
         if b.shape[0] != s.n:
             raise ShapeError(f"rhs dim {b.shape} vs n={s.n}")
         if b.ndim == 2:
@@ -610,7 +619,11 @@ class LdlNumeric:
             panels = self.__dict__.get("_panels")
             if panels is None or panels.dtype != self.l_data.dtype:
                 panels = panels_from_csc(plan, self.l_data)
-                object.__setattr__(self, "_panels", panels)
+                # never cache a tracer (a jitted solve would leak it
+                # into later calls); concrete panels amortize across
+                # solves
+                if is_concrete(panels):
+                    object.__setattr__(self, "_panels", panels)
             x = solve_supernodal(plan, panels, self.d, x)
         elif method == "levels":
             x = _level_solve_csr(self.l_csr(), x, s.sched_lower)
