@@ -271,7 +271,9 @@ class LdlSymbolic:
 
         # --- CSR twin of L (lower, row-major) + value gather ---------------
         cols_of = np.repeat(np.arange(n), col_size)
-        order = np.lexsort((cols_of, l_indices))  # by (row, col)
+        # entries are already col-sorted (CSC layout): ONE stable sort
+        # by row yields (row, col) order — half the lexsort's work
+        order = np.argsort(l_indices, kind="stable")
         lcsr_rows = l_indices[order]
         lcsr_indices = cols_of[order]
         lcsr_gather = order
