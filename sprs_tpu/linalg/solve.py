@@ -25,7 +25,7 @@ from .ldl import Ldl
 from .lu import splu
 
 
-def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
+def solve(mat: CsMat, b, *, method: str = "auto", fill: str = "camd", **factor_kw):
     """Solve A x = b differentiably.
 
     ``method``: "auto" (LDL if symmetric else LU), "ldl", "lu", or an
@@ -36,6 +36,11 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
     jittable and reverse-mode differentiable in ``b`` and ``mat.data``
     via ``lax.custom_linear_solve`` — gradients cost one adjoint solve,
     never differentiation through the factorization/iteration.
+
+    ``fill``: fill-reducing ordering for the LDL path ("camd" default —
+    scipy's spsolve likewise orders by default; "rcm" or "none" to
+    override).  The solution is ordering-independent; fill/flops are
+    not.
     """
     from ..formats.util import is_concrete
 
@@ -61,7 +66,12 @@ def solve(mat: CsMat, b, *, method: str = "auto", **factor_kw):
             method = "ldl" if bool(is_symmetric(mat)) else "lu"
 
         if method == "ldl":
-            fac = Ldl().check_symmetry(False).numeric(mat, **factor_kw)
+            fac = (
+                Ldl()
+                .fill_in_reduction(fill)
+                .check_symmetry(False)
+                .numeric(mat, **factor_kw)
+            )
             fwd = fac.solve
             tr = fac.solve  # symmetric: adjoint solve == solve
         elif method == "lu":
