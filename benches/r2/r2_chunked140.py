@@ -57,6 +57,25 @@ for trial in range(2):
     print(f"tpu chunked trial {trial}: {dt:.2f} s  nnz {nnz}  "
           f"ratio vs scipy {best_scipy/dt:.2f}x", flush=True)
 
+# densified-MXU path (spgemm auto picks it at this density) — same
+# process so the ratio is trustworthy
+out_cap = max(int(c_ref.nnz), 1)
+f_dense = None
+try:
+    import jax
+    f_dense = jax.jit(lambda a, b: sg.spgemm_dense(a, b, out_cap=out_cap))
+    cd = f_dense(a, b)
+    _ = float(jnp.asarray(cd.data).reshape(-1)[0])  # compile+settle
+    for trial in range(3):
+        t0 = time.perf_counter()
+        cd = f_dense(a, b)
+        _ = float(jnp.asarray(cd.data).reshape(-1)[0])
+        dt_d = time.perf_counter() - t0
+        print(f"tpu dense-mxu trial {trial}: {dt_d:.2f} s  "
+              f"ratio vs scipy {best_scipy/dt_d:.2f}x", flush=True)
+except Exception as e:
+    print(f"dense path failed: {e}", flush=True)
+
 # correctness spot check (sampled rows)
 rows = np.random.default_rng(2).choice(15000, 50, replace=False)
 ok = True
