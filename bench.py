@@ -229,8 +229,8 @@ def main():
             file=sys.stderr,
         )
         if best is None or frac > best[0]:
-            best = (frac, kbest, dt, gbps, peak)
-    frac, kbest, dt, gbps, peak = best
+            best = (frac, kbest, dt, gbps, peak, twin_gbps, twin_frac)
+    frac, kbest, dt, gbps, peak, twin_gbps, twin_frac = best
     result = {
         "metric": "spmv_hbm_roofline_fraction",
         "value": round(frac, 4),
@@ -242,9 +242,13 @@ def main():
             "copy_peak_GBps": round(peak, 2),
             # speed-of-light twin: same (W+2)-stream traffic, no sparse
             # logic — spmv/twin ≈ 1 proves the kernel is at the chip's
-            # streaming limit for this access pattern.
-            "stream_twin_GBps": round(twin_best_gbps, 2),
-            "frac_vs_stream_twin": round(best_twin_frac, 4),
+            # streaming limit for this access pattern.  Same-round as
+            # the reported spmv/copy pair (mutually consistent);
+            # *_best are the per-session maxima across rounds.
+            "stream_twin_GBps": round(twin_gbps, 2),
+            "frac_vs_stream_twin": round(twin_frac, 4),
+            "stream_twin_GBps_best": round(twin_best_gbps, 2),
+            "frac_vs_stream_twin_best": round(best_twin_frac, 4),
             "gnnz_per_s": round(nnz / dt / 1e9, 3),
             "spmv_gflops": round(2 * nnz / dt / 1e9, 3),
             "pallas_vs_xla_speedup": round(

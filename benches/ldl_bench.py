@@ -104,23 +104,50 @@ def main():
     print(f"supernodal: {t_sup*1e3:.1f} ms/refactor "
           f"({fl/t_sup/1e9:.1f} useful GFLOP/s)", flush=True)
 
-    # solve timings: level-scheduled vs supernodal panel solve (chained)
+    # solve timings: level-scheduled vs supernodal panel solve (chained;
+    # inner solves only — the O(n) permutation gathers are identical for
+    # both methods).  Factor values / panels / L matrices are passed as
+    # ARGUMENTS (CLAUDE.md: closing over big arrays embeds them as HLO
+    # constants and balloons the remote-compile payload).
+    from sprs_tpu.linalg.ldl_super import panels_from_csc, solve_supernodal
+    from sprs_tpu.linalg.trisolve import _level_solve_csr
+
     num = sym.factor(mat, backend="supernodal")
     b0 = jnp.asarray(
         np.linspace(1.0, 2.0, n).astype(np.float32)
     ).astype(dtype)
-    for meth in ("levels", "super"):
+    panels = panels_from_csc(plan, num.l_data)
+
+    @jax.jit
+    def run_super(pn, dv, v):
+        return solve_supernodal(plan, pn, dv, v / (1.0 + jnp.abs(v[0])))
+
+    @jax.jit
+    def run_levels(lc, lt, dv, v):
+        x = _level_solve_csr(lc, v / (1.0 + jnp.abs(v[0])), sym.sched_lower)
+        x = x / dv
+        return _level_solve_csr(lt, x, sym.sched_upper)
+
+    def _time(fn, *ops):
+        y = fn(*ops, b0)
+        _ = float(jnp.asarray(y).reshape(-1)[0])  # compile + settle
+        best = float("inf")
+        iters = max(args.iters, 5)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v = b0
+            for _ in range(iters):
+                v = fn(*ops, v)
+            _ = float(jnp.asarray(v).reshape(-1)[0])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    for meth, fn, ops in (
+        ("super", run_super, (panels, num.d)),
+        ("levels", run_levels, (num.l_csr(), num.lt(), num.d)),
+    ):
         try:
-            t_sol = chain_time_best(
-                jax.jit(
-                    lambda v, m=meth: num.solve(
-                        v / (1.0 + jnp.abs(v[0])), method=m
-                    )
-                ),
-                b0,
-                iters=max(args.iters, 5),
-                rounds=3,
-            )
+            t_sol = _time(fn, *ops)
             out[f"solve_{meth}_s"] = t_sol
             print(f"solve[{meth}]: {t_sol*1e3:.2f} ms", flush=True)
         except Exception as e:  # level solve may OOM on fill-heavy factors

@@ -78,31 +78,16 @@ def _time_device_chained(step, a0, b, reps: int = 5, rounds: int = 2) -> float:
 
 def _time_device_fori(step, a0, b, inner: int = 8, rounds: int = 3) -> float:
     """Fori-fused timing: ``inner`` dependency-chained products in ONE
-    dispatch (jitted ``lax.fori_loop``), scalar-fetch terminated.
+    dispatch, scalar-fetch terminated — amortizes the tunnel's
+    per-DISPATCH floor (~2-6 ms) that the host-chained numbers above pay
+    once per product.  Thin adapter over the shared
+    ``sprs_tpu.utils.profile.fori_chain_time`` (the one copy of the
+    fused-timing discipline)."""
+    from sprs_tpu.utils.profile import fori_chain_time
 
-    The axon tunnel adds a per-DISPATCH floor (~2-6 ms) that the
-    host-chained numbers above pay once per product — the same order as
-    the kernel itself on small/mid workloads.  Fusing the chain
-    amortizes that floor over ``inner`` executions and measures true
-    device time (bench.py round-2 methodology).  Built once so rounds
-    never recompile; operands are ARGUMENTS (never closed over)."""
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(a, bb):
-        return jax.lax.fori_loop(
-            0, inner, lambda i, y: step(y, bb), a
-        )
-
-    y = run(a0, b)
-    _ = float(jnp.asarray(y.data).reshape(-1)[0])  # compile + settle
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        y = run(a0, b)
-        _ = float(jnp.asarray(y.data).reshape(-1)[0])
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return best
+    return fori_chain_time(
+        lambda m, y: step(y, m), b, a0, inner=inner, rounds=rounds
+    )
 
 
 def _dependency_step(f):

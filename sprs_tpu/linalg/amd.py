@@ -55,7 +55,15 @@ def camd_order(mat: CsMat) -> Permutation:
                 fast.astype(np.int32), check=False
             )
 
-    # numpy fallback: greedy minimum degree with clique fill-in
+    # numpy fallback: greedy minimum degree with clique fill-in —
+    # O(n²)+ pure Python; fail loudly instead of silently hanging on
+    # large inputs when the native library is unavailable.
+    if n > 4096:
+        raise RuntimeError(
+            f"camd_order numpy fallback is O(n²) and n={n}; build the "
+            "native library (sprs_tpu.native) or use "
+            "fill_in_reduction('rcm')"
+        )
     adj = [set() for _ in range(n)]
     for i in range(n):
         for j in indices[indptr[i] : indptr[i + 1]]:

@@ -518,6 +518,17 @@ class LdlNumeric:
                         pass
         if backend == "host":
             lx, d = _numeric_host(sym, np.asarray(a.data, dtype=np.float64))
+            # exact f64 compute (golden parity), but STORE in the input
+            # dtype: an f64 factor against an f32 rhs made the level
+            # solve's scatter downcast f64->f32 (a future JAX error)
+            # and gave method='levels' vs 'super' different output
+            # dtypes for the same factorization.
+            out_dt = np.dtype(a.data.dtype)
+            if np.issubdtype(out_dt, np.floating) or np.issubdtype(
+                out_dt, np.complexfloating
+            ):
+                lx = lx.astype(out_dt)
+                d = d.astype(out_dt)
             return cls(sym, jnp.asarray(lx), jnp.asarray(d))
         if backend == "supernodal":
             from .ldl_super import numeric_supernodal

@@ -150,6 +150,12 @@ def build_super_plan(
         raise SupernodalPlanError(
             f"panel storage {P} elements exceeds limit {panel_limit}"
         )
+    if P + MR * W >= 2**31:
+        # int32 panel positions (incl. the OOB sentinel region) — holds
+        # for any panel_limit a caller might raise
+        raise SupernodalPlanError(
+            f"panel positions {P + MR * W} exceed int32 range"
+        )
 
     # sorted membership key: (owner supernode, global row) — owners
     # ascend and rows ascend within an owner, so the concatenation is
@@ -276,27 +282,31 @@ def build_super_plan(
     rslot3 = np.where(in_diag3, r - c0[s_c], bslot3)
     csc_gather = off[s_c] + rslot3 * W + (colj - c0[s_c])
 
+    # int32 storage throughout (panel_limit < 2^29 and map widths < 2^31
+    # guarantee the ranges): the plan arrays embed as HLO constants when
+    # the numeric/solve are traced, so width matters for the remote
+    # compile payload (asm/csc maps are O(lnz)).
     return SuperPlan(
         n=n,
         S=S,
         W=W,
         MR=MR,
         P=P,
-        c0=c0,
-        w=w,
-        rows=rows,
-        off=off[:-1],
-        asm_src=asm_src,
-        asm_dst=asm_dst,
+        c0=c0.astype(np.int32),
+        w=w.astype(np.int32),
+        rows=rows.astype(np.int32),
+        off=off[:-1].astype(np.int32),
+        asm_src=asm_src.astype(np.int32),
+        asm_dst=asm_dst.astype(np.int32),
         t_type=t_type,
-        t_src=t_src,
-        t_dst=t_dst,
-        t_rmap=t_rmap,
-        csc_gather=csc_gather,
+        t_src=t_src.astype(np.int32),
+        t_dst=t_dst.astype(np.int32),
+        t_rmap=t_rmap.astype(np.int32),
+        csc_gather=csc_gather.astype(np.int32),
         below_ptr=below_ptr,
         below_flat=np.concatenate(
             [below_flat, np.full(MR, n, dtype=np.int64)]
-        ),
+        ).astype(np.int32),
     )
 
 

@@ -25,7 +25,7 @@ from .ldl import Ldl
 from .lu import splu
 
 
-def solve(mat: CsMat, b, *, method: str = "auto", fill: str = "camd", **factor_kw):
+def solve(mat: CsMat, b, *, method: str = "auto", fill: str = "auto", **factor_kw):
     """Solve A x = b differentiably.
 
     ``method``: "auto" (LDL if symmetric else LU), "ldl", "lu", or an
@@ -37,9 +37,11 @@ def solve(mat: CsMat, b, *, method: str = "auto", fill: str = "camd", **factor_k
     via ``lax.custom_linear_solve`` — gradients cost one adjoint solve,
     never differentiation through the factorization/iteration.
 
-    ``fill``: fill-reducing ordering for the LDL path ("camd" default —
-    scipy's spsolve likewise orders by default; "rcm" or "none" to
-    override).  The solution is ordering-independent; fill/flops are
+    ``fill``: fill-reducing ordering for the LDL path ("auto" default:
+    AMD when the native library is built, RCM otherwise — the numpy
+    AMD fallback is an O(n²) greedy usable only on small inputs;
+    scipy's spsolve likewise orders by default).  "camd"/"rcm"/"none"
+    to force.  The solution is ordering-independent; fill/flops are
     not.
     """
     from ..formats.util import is_concrete
@@ -66,6 +68,10 @@ def solve(mat: CsMat, b, *, method: str = "auto", fill: str = "camd", **factor_k
             method = "ldl" if bool(is_symmetric(mat)) else "lu"
 
         if method == "ldl":
+            if fill == "auto":
+                from .. import native
+
+                fill = "camd" if native.available() else "rcm"
             fac = (
                 Ldl()
                 .fill_in_reduction(fill)

@@ -487,6 +487,29 @@ def spgemm(
 DENSE_BYTES_BUDGET = 6 << 30
 
 
+def _with_cap_truncating(c: CsMat, cap: int) -> CsMat:
+    """Re-cap matching ``from_dense``'s contract: keep the FIRST ``cap``
+    entries with valid structure (indptr clipped, dead tail zeroed).
+    ``CsMat.with_cap`` raises on shrink-below-nnz, which made
+    ``spgemm_dense(out_cap=...)`` truncate or crash depending on
+    whether the workload crossed the chunking budget."""
+    ip = jnp.minimum(c.indptr, cap).astype(INDEX_DTYPE)
+    if cap > c.cap:
+        idx = jnp.pad(c.indices, (0, cap - c.cap))
+        dat = jnp.pad(c.data, (0, cap - c.cap))
+    else:
+        idx = c.indices[:cap]
+        dat = c.data[:cap]
+    live = jnp.arange(cap, dtype=INDEX_DTYPE) < ip[-1]
+    return CsMat(
+        ip,
+        jnp.where(live, idx, 0),
+        jnp.where(live, dat, jnp.zeros((), dat.dtype)),
+        c.shape,
+        c.storage,
+    )
+
+
 def spgemm_dense(
     a: CsMat,
     b: CsMat,
@@ -556,7 +579,11 @@ def spgemm_dense(
                 for c0 in range(0, n, cols_per)
             ]
             out = hstack(parts).to_csr()
-            return out if out_cap is None else out.with_cap(out_cap)
+            return (
+                out
+                if out_cap is None
+                else _with_cap_truncating(out, out_cap)
+            )
     if concrete and dense_bytes > DENSE_BYTES_BUDGET:
         fixed = k * n * itemsize
         rows_per = max(
@@ -576,7 +603,11 @@ def spgemm_dense(
                 for r0 in range(0, m, rows_per)
             ]
             out = vstack(parts)
-            return out if out_cap is None else out.with_cap(out_cap)
+            return (
+                out
+                if out_cap is None
+                else _with_cap_truncating(out, out_cap)
+            )
 
     c = _dense_prod(a, b, prec=precision)
     from ..formats.csmat import from_dense
