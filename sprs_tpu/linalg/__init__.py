@@ -13,7 +13,20 @@ from .ldl import FILL_CAMD, FILL_NONE, FILL_RCM, Ldl, LdlNumeric, LdlSymbolic
 from .lu import SpLu, splu
 from .solve import solve
 from .svds import SvdsResult, svds
-from .supernodes import Supernodes, amalgamate, fundamental_supernodes
+from .ldl_super import (
+    SuperPlan,
+    SupernodalPlanError,
+    build_super_plan,
+    numeric_supernodal,
+    panels_from_csc,
+    solve_supernodal,
+)
+from .supernodes import (
+    Supernodes,
+    amalgamate,
+    amalgamate_union,
+    fundamental_supernodes,
+)
 from .ordering import (
     OrderingResult,
     bandwidth,
@@ -63,6 +76,13 @@ __all__ = [
     "solve",
     "Supernodes",
     "amalgamate",
+    "amalgamate_union",
+    "SuperPlan",
+    "SupernodalPlanError",
+    "build_super_plan",
+    "numeric_supernodal",
+    "panels_from_csc",
+    "solve_supernodal",
     "fundamental_supernodes",
     "SvdsResult",
     "svds",
