@@ -116,3 +116,19 @@ class TestSolve:
         B = RNG.standard_normal((7, 3))
         X = np.asarray(solve(st.from_dense(d), B, method="lu"))
         np.testing.assert_allclose(X, np.linalg.solve(d, B), rtol=1e-6)
+
+
+def test_solve_fill_auto_and_override():
+    import numpy as np
+
+    from sprs_tpu.utils.special import dirichlet_laplacian
+    from sprs_tpu.linalg import solve
+
+    mat = dirichlet_laplacian((7, 9))
+    d = np.asarray(mat.to_dense())
+    b = np.linspace(1.0, 2.0, d.shape[0])
+    x_auto = np.asarray(solve(mat, b, method="ldl"))
+    for fill in ("camd", "rcm", "none"):
+        x = np.asarray(solve(mat, b, method="ldl", fill=fill))
+        np.testing.assert_allclose(x, x_auto, rtol=1e-4, atol=1e-5)
+    assert np.abs(d @ x_auto - b).max() < 1e-4
