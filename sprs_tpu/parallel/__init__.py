@@ -14,6 +14,7 @@ from .dist import (
     shard_csr_2d,
     shard_csr_rows,
 )
+from .precond import BlockJacobiLdl, block_jacobi_ldl
 from .halo import (
     HaloCsMat,
     HaloSplitCsMat,
@@ -25,6 +26,8 @@ from .halo import (
 
 __all__ = [
     "BGatherPlan",
+    "BlockJacobiLdl",
+    "block_jacobi_ldl",
     "Dist2DCsMat",
     "DistCsMat",
     "HaloCsMat",
