@@ -14,7 +14,7 @@ from .dist import (
     shard_csr_2d,
     shard_csr_rows,
 )
-from .precond import BlockJacobiLdl, block_jacobi_ldl
+from .precond import BlockJacobiLdl, block_jacobi_ldl, dist_cg
 from .halo import (
     HaloCsMat,
     HaloSplitCsMat,
@@ -28,6 +28,7 @@ __all__ = [
     "BGatherPlan",
     "BlockJacobiLdl",
     "block_jacobi_ldl",
+    "dist_cg",
     "Dist2DCsMat",
     "DistCsMat",
     "HaloCsMat",

@@ -66,6 +66,34 @@ class BlockJacobiLdl:
     __call__ = precond
 
 
+def dist_cg(dmat, b, mesh, *, precond=None, **cg_kw):
+    """Distributed preconditioned CG on a row-sharded SPD system.
+
+    Convenience front door composing :func:`~sprs_tpu.parallel.dist_spmv`
+    (the matvec, all-gathered x over the mesh) with a preconditioner:
+    ``precond`` may be None, the string ``"jacobi"`` (diagonal),
+    ``"block_ldl"`` (per-shard supernodal LDL block solves — see
+    :func:`block_jacobi_ldl`), or any callable ``r -> M⁻¹ r``.
+    Returns :class:`~sprs_tpu.linalg.cg.CgResult`.
+    """
+    import jax
+
+    from ..linalg import cg
+    from .dist import dist_spmv
+
+    matvec = jax.jit(lambda v: dmat.assemble(dist_spmv(dmat, v, mesh)))
+    if precond == "jacobi":
+        mat = dmat.to_csmat()
+        diag = jnp.asarray(mat.diag())
+        pc = lambda r: r / diag  # noqa: E731
+    elif precond == "block_ldl":
+        M = block_jacobi_ldl(dmat.to_csmat(), dmat.n_shards)
+        pc = M.precond
+    else:
+        pc = precond
+    return cg(matvec, jnp.asarray(b), precond=pc, **cg_kw)
+
+
 def block_jacobi_ldl(
     mat: CsMat, n_shards: int, *, fill: str = "camd"
 ) -> BlockJacobiLdl:

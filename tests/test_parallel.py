@@ -400,3 +400,20 @@ class TestBlockJacobiLdl:
         np.testing.assert_allclose(
             x_sm, np.asarray(M.precond(r)), rtol=1e-5, atol=1e-6
         )
+
+    def test_dist_cg_front_door(self):
+        from sprs_tpu.parallel import dist_cg, shard_csr_rows
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        spd = dirichlet_laplacian((8, 16))
+        dense = np.asarray(spd.to_dense())
+        n = spd.shape[0]
+        dmat = shard_csr_rows(spd, 8)
+        b = (dense @ np.ones(n)).astype(np.float64)
+        for pc in (None, "jacobi", "block_ldl"):
+            res = dist_cg(
+                dmat, b, mesh_1d(8), precond=pc, tol=1e-9, max_iter=500
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.x), np.ones(n), atol=1e-5
+            )
