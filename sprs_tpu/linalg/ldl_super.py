@@ -59,6 +59,7 @@ def _ceil8(x: int) -> int:
     return max(8, (int(x) + 7) & ~7)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SuperPlan:
     """Static supernodal factorization schedule (host-precomputed)."""
@@ -94,6 +95,35 @@ class SuperPlan:
     @property
     def n_tasks(self) -> int:
         return self.t_type.shape[0]
+
+    # Registered as a pytree so callers can pass the plan THROUGH jit
+    # boundaries as an argument: the index maps are O(lnz)-scale
+    # (t_rmap alone is 450 MB at 262k rows) and closing over them
+    # embeds HLO constants — ballooning the remote-compile payload past
+    # the tunnel's ~500 MB HTTP cliff.  As pytree leaves they transfer
+    # once as device buffers instead.
+    def tree_flatten(self):
+        leaves = (
+            self.c0,
+            self.w,
+            self.rows,
+            self.off,
+            self.asm_src,
+            self.asm_dst,
+            self.t_type,
+            self.t_src,
+            self.t_dst,
+            self.t_rmap,
+            self.csc_gather,
+            self.below_ptr,
+            self.below_flat,
+        )
+        return leaves, (self.n, self.S, self.W, self.MR, self.P)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, S, W, MR, P = aux
+        return cls(n, S, W, MR, P, *leaves)
 
 
 def build_super_plan(
