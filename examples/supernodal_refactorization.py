@@ -65,11 +65,14 @@ def main():
         f"supernodes={plan.S} ({t_sym*1e3:.1f} ms, host, once)"
     )
 
+    # the plan rides through jit as a PYTREE ARGUMENT: its O(lnz)
+    # index maps transfer once as device buffers instead of embedding
+    # as HLO constants in the (remote) compile payload
     @jax.jit
-    def step(c, d1, dd, b):
+    def step(pl, c, d1, dd, b):
         data = d1 + (c - 1.0) * dd
-        lx, d = numeric_supernodal(plan, data)
-        return LdlNumeric(sym, lx, d).solve(b)
+        lx, d = numeric_supernodal(pl, data)
+        return LdlNumeric(sym, lx, d).solve(b, method="super")
 
     rng = np.random.default_rng(0)
     b0 = rng.standard_normal(m)
@@ -77,13 +80,13 @@ def main():
     for k in range(steps):
         c = 1.0 + 0.5 * np.sin(0.3 * k)
         t0 = time.perf_counter()
-        x = step(c, d1, dd, x)
+        x = step(plan, c, d1, dd, x)
         x.block_until_ready()
         print(f"step {k}: c={c:.3f} factor+solve {1e3*(time.perf_counter()-t0):.1f} ms")
 
     # verify one step against the dense oracle
     c = 0.7
-    xs = np.asarray(step(c, d1, dd, b0))
+    xs = np.asarray(step(plan, c, d1, dd, b0))
     a_np = np.eye(m) + dt * c * np.asarray(lap.to_dense())
     res = np.linalg.norm(a_np @ xs - b0) / np.linalg.norm(b0)
     print(f"relative residual at c={c}: {res:.2e}")
