@@ -618,6 +618,10 @@ class LdlNumeric:
             )
         if b.shape[0] != s.n:
             raise ShapeError(f"rhs dim {b.shape} vs n={s.n}")
+        # numpy-style promotion: an f64 factor with an f32 rhs solves in
+        # f64 (the level path otherwise scatter-downcasts f64 values
+        # into the f32 carry — a future JAX error)
+        b = b.astype(jnp.result_type(self.l_data.dtype, b.dtype))
         if b.ndim == 2:
             return jax.vmap(
                 lambda col: self.solve(col, method=method),
