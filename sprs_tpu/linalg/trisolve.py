@@ -329,6 +329,10 @@ def usolve(
 def _trisolve(mat, b, *, lower, method, schedule, window=None):
     _check_square(mat)
     b = _check_rhs(mat, b)
+    # numpy-style promotion: an f64 matrix with an f32 rhs solves in
+    # f64 (the sweeps otherwise scatter-downcast f64 values into the
+    # f32 carry — a future JAX error)
+    b = b.astype(jnp.result_type(mat.data.dtype, b.dtype))
     _host_diag_check(mat)
     if b.ndim == 2:
         solve1 = lambda col: _trisolve(  # noqa: E731
