@@ -193,14 +193,39 @@ def amalgamate_union(
     # fundamental column's struct restricted to [strip_end, ∞).
     ccum = np.zeros(colcount.shape[0] + 1, dtype=np.int64)
     np.cumsum(colcount, out=ccum[1:])
-    blocks = []
+    # strip starts: fundamentals wider than max_width split here; the
+    # per-strip below rows are struct(strip first col) ∩ [strip_end, ∞)
+    # — equal to the fundamental first column's struct restricted, per
+    # the in-fundamental suffix property (colcount[j]=colcount[j-1]-1).
+    strip_starts = []
     for s in range(S0):
-        c0f, c1f = int(ptr[s]), int(ptr[s + 1])
-        col = l_indices[l_indptr[c0f] + 1 : l_indptr[c0f + 1]]
-        for c0 in range(c0f, c1f, max_width):
-            c1 = min(c0 + max_width, c1f)
-            rows = col[col >= c1]
-            blocks.append([c0, c1, rows, int(ccum[c1] - ccum[c0])])
+        strip_starts.extend(
+            range(int(ptr[s]), int(ptr[s + 1]), max_width)
+        )
+    ptr0 = np.asarray(strip_starts + [n], dtype=np.int64)
+
+    from .. import native
+
+    fast = native.amalgamate_union_native(
+        l_indptr, l_indices, n, ptr0, max_width, max_zeros, rel_zeros
+    )
+    if fast is not None:
+        out_ptr, below_ptr, below_flat = fast
+        of = np.zeros(n, dtype=np.int64)
+        of[out_ptr[1:-1]] = 1
+        of = np.cumsum(of)
+        return (
+            Supernodes(ptr=out_ptr, of=of),
+            below_ptr,
+            below_flat,
+        )
+
+    blocks = []
+    for t in range(ptr0.shape[0] - 1):
+        c0, c1 = int(ptr0[t]), int(ptr0[t + 1])
+        col = l_indices[l_indptr[c0] + 1 : l_indptr[c0 + 1]]
+        rows = col[col >= c1]
+        blocks.append([c0, c1, rows, int(ccum[c1] - ccum[c0])])
     for _ in range(4):  # merge passes until fixpoint (bounded)
         out = []
         changed = False

@@ -108,6 +108,20 @@ def _bind(lib: ctypes.CDLL) -> None:
         _I32P,
     ]
     lib.sprs_super_rmap.restype = None
+    lib.sprs_amalgamate_union.argtypes = [
+        _I64P,
+        _I64P,
+        ctypes.c_int64,
+        _I64P,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        _I64P,
+        _I64P,
+        _I64P,
+    ]
+    lib.sprs_amalgamate_union.restype = ctypes.c_int64
     lib.sprs_rcm.argtypes = [
         _I32P,
         _I32P,
@@ -279,6 +293,44 @@ def ldl_pattern(row_ptr, row_cols, n, parent, l_indptr, wl, lnz):
         l_indices,
     )
     return row_pattern, insert_pos, l_indices
+
+
+def amalgamate_union_native(
+    l_indptr, l_indices, n, ptr0, max_width, max_zeros, rel_zeros
+):
+    """(ptr, below_ptr, below_flat) via the C++ greedy union merger, or
+    None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    S0 = ptr0.shape[0] - 1
+    lp = np.ascontiguousarray(l_indptr, np.int64)
+    # capacity: sum of the strips' first-column below counts bounds
+    # every union (merging only shrinks or keeps row sets)
+    c0s = ptr0[:-1]
+    cap = int(np.sum(lp[c0s + 1] - lp[c0s] - 1)) if S0 else 0
+    out_ptr = np.empty(S0 + 1, dtype=np.int64)
+    out_bptr = np.empty(S0 + 1, dtype=np.int64)
+    out_flat = np.empty(max(cap, 1), dtype=np.int64)
+    S = lib.sprs_amalgamate_union(
+        lp,
+        np.ascontiguousarray(l_indices, np.int64),
+        n,
+        np.ascontiguousarray(ptr0, np.int64),
+        S0,
+        max_width,
+        max_zeros,
+        float(rel_zeros),
+        out_ptr,
+        out_bptr,
+        out_flat,
+    )
+    S = int(S)
+    return (
+        out_ptr[: S + 1].copy(),
+        out_bptr[: S + 1].copy(),
+        out_flat[: int(out_bptr[S])].copy(),
+    )
 
 
 def super_rmap(pair_d, pair_t, c0, w, below_ptr, below_flat, MR):

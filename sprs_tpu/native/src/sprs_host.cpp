@@ -216,6 +216,102 @@ void sprs_ldl_pattern_flat(const int32_t* row_ptr, const int32_t* row_cols,
   }
 }
 
+// Union-structure relaxed amalgamation (supernodes.amalgamate_union's
+// fast path).  Inputs: L's CSC pattern, the strip starts ptr0 (S0+1;
+// fundamentals already split to max_width by the caller), colcount
+// prefix ccum (n+1).  Greedy left-merge passes until fixpoint: merge
+// the running block [a0, c1) with the next strip [c1, c2) when the
+// merged width stays <= max_width and the explicit zeros (panel
+// entries minus true entries) pass the absolute-or-relative budget.
+// Outputs: out_ptr (<= S0+1 entries; returns the block count), per-
+// block sorted below-row unions packed into out_flat at out_bptr.
+// out_flat capacity must be >= sum of the strips' initial row counts
+// (unions only shrink under merging).
+int64_t sprs_amalgamate_union(const int64_t* l_indptr,
+                              const int64_t* l_indices, int64_t n,
+                              const int64_t* ptr0, int64_t S0,
+                              int64_t max_width, int64_t max_zeros,
+                              double rel_zeros, int64_t* out_ptr,
+                              int64_t* out_bptr, int64_t* out_flat) {
+  struct Blk {
+    int64_t c0, c1, tn;
+    std::vector<int64_t> rows;
+  };
+  std::vector<Blk> blocks;
+  blocks.reserve(static_cast<size_t>(S0));
+  // colcount prefix on the fly: tn = l_indptr[c1] - l_indptr[c0]
+  for (int64_t s = 0; s < S0; ++s) {
+    const int64_t c0 = ptr0[s], c1 = ptr0[s + 1];
+    Blk b;
+    b.c0 = c0;
+    b.c1 = c1;
+    b.tn = l_indptr[c1] - l_indptr[c0];
+    // struct(first col) below the diagonal, restricted to >= c1
+    for (int64_t p = l_indptr[c0] + 1; p < l_indptr[c0 + 1]; ++p) {
+      if (l_indices[p] >= c1) b.rows.push_back(l_indices[p]);
+    }
+    blocks.push_back(std::move(b));
+  }
+  std::vector<int64_t> merged;
+  for (int pass = 0; pass < 4; ++pass) {
+    bool changed = false;
+    std::vector<Blk> out;
+    out.reserve(blocks.size());
+    for (auto& b : blocks) {
+      if (out.empty()) {
+        out.push_back(std::move(b));
+        continue;
+      }
+      Blk& a = out.back();
+      const int64_t w_new = b.c1 - a.c0;
+      if (w_new <= max_width) {
+        // union of (a.rows >= b.c1) with b.rows (both sorted)
+        merged.clear();
+        size_t i = 0;
+        while (i < a.rows.size() && a.rows[i] < b.c1) ++i;
+        size_t j = 0;
+        while (i < a.rows.size() || j < b.rows.size()) {
+          int64_t v;
+          if (j >= b.rows.size() ||
+              (i < a.rows.size() && a.rows[i] <= b.rows[j])) {
+            v = a.rows[i++];
+            if (j < b.rows.size() && b.rows[j] == v) ++j;
+          } else {
+            v = b.rows[j++];
+          }
+          merged.push_back(v);
+        }
+        const int64_t tn = a.tn + b.tn;
+        const int64_t ent =
+            w_new * (w_new + 1) / 2 +
+            w_new * static_cast<int64_t>(merged.size());
+        const int64_t zeros = ent - tn;
+        if (zeros <= max_zeros ||
+            static_cast<double>(zeros) <= rel_zeros * ent) {
+          a.c1 = b.c1;
+          a.tn = tn;
+          a.rows = merged;
+          changed = true;
+          continue;
+        }
+      }
+      out.push_back(std::move(b));
+    }
+    blocks.swap(out);
+    if (!changed) break;
+  }
+  const int64_t S = static_cast<int64_t>(blocks.size());
+  int64_t fp = 0;
+  out_bptr[0] = 0;
+  for (int64_t s = 0; s < S; ++s) {
+    out_ptr[s] = blocks[s].c0;
+    for (int64_t r : blocks[s].rows) out_flat[fp++] = r;
+    out_bptr[s + 1] = fp;
+  }
+  out_ptr[S] = n;
+  return S;
+}
+
 // Per-update-pair row map for the supernodal LDL numeric: for pair p
 // (descendant d -> target t), rmap[p*MR + slot] is the row index inside
 // d's panel holding the same global row as target panel slot `slot`, or
