@@ -12,12 +12,11 @@ scalar-ish updates.
 Why this is exact (not an approximation):
 
 * Supernode s spans columns ``[c0, c1)``; every column j is padded to
-  the structure ``[j+1..c1) ∪ rows(s)`` where ``rows(s)`` is the
-  below-block structure of the LAST column c1−1.  The etree containment
-  ``struct(j) ∩ (j, n) ⊆ struct(parent(j)) ∪ {parent(j)}`` plus the
-  amalgamation rule (blocks merge only along child-last → parent-first
-  etree links) guarantees rows(s) covers every member column's below-
-  block structure, so the padded panel holds the whole true pattern.
+  the structure ``[j+1..c1) ∪ rows(s)`` where ``rows(s)`` is the UNION
+  of the member columns' below-c1 structures
+  (``supernodes.amalgamate_union``).  Containment is then true BY
+  CONSTRUCTION for any contiguous column partition — the zeros budget
+  and ``max_width`` are pure efficiency knobs, not correctness rules.
 * Entries introduced by padding are EXACTLY 0.0 in floating point: for
   a position outside the simplicial pattern, every update term carries
   a factor that is itself a padded (exactly-zero) entry — by induction,
@@ -248,10 +247,10 @@ def build_super_plan(
         rmap = native.super_rmap(
             pair_d, pair_t, c0, w, below_ptr, below_flat, MR
         )
-        if rmap is not None:
-            rmap = rmap.astype(np.int64)
+        # keep int32 end-to-end: the (npairs, MR) table is 450 MB at
+        # 262k rows and every widening/copy pass costs seconds
     else:
-        rmap = np.zeros((0, MR), dtype=np.int64)
+        rmap = np.zeros((0, MR), dtype=np.int32)
     if npairs and rmap is None:
         # numpy fallback: broadcast (npairs, MR) membership queries —
         # measured 32 s vs <1 s for the C++ merges at 262k rows
@@ -271,7 +270,7 @@ def build_super_plan(
         dslot, dfound = member_slot(
             np.broadcast_to(pair_d[:, None], g.shape), g
         )
-        rmap = np.where(dfound, dslot, MR)
+        rmap = np.where(dfound, dslot, MR).astype(np.int32)
 
     # --- task schedule: for each target s ascending, its updates
     # (descendants ascending) then its factor step -----------------------
@@ -281,7 +280,7 @@ def build_super_plan(
     t_type = np.zeros(T, dtype=np.int32)
     t_src = np.zeros(T, dtype=np.int64)
     t_dst = np.zeros(T, dtype=np.int64)
-    t_rmap = np.full((T, MR), MR, dtype=np.int64)
+    t_rmap = np.full((T, MR), MR, dtype=np.int32)
     if npairs:
         order = np.lexsort((pair_d, pair_t))
         pt_sorted = pair_t[order]
@@ -331,7 +330,7 @@ def build_super_plan(
         t_type=t_type,
         t_src=t_src.astype(np.int32),
         t_dst=t_dst.astype(np.int32),
-        t_rmap=t_rmap.astype(np.int32),
+        t_rmap=np.asarray(t_rmap, dtype=np.int32),
         csc_gather=csc_gather.astype(np.int32),
         below_ptr=below_ptr,
         below_flat=np.concatenate(
