@@ -187,8 +187,18 @@ def main():
     # (observed frac > 1 artifacts).
     _ = _fetch_scalar(copy_run(None, cx))
     _ = _fetch_scalar(twin_run(d_flat, x))
-    for run, mat in kernels.values():
-        _ = _fetch_scalar(run(mat, x))
+    for name in list(kernels):
+        run, mat = kernels[name]
+        try:
+            _ = _fetch_scalar(run(mat, x))
+        except Exception as e:  # experimental variants must not kill
+            # the headline number — drop them with a visible note.
+            print(
+                f"# kernel {name} failed to compile/run, dropped: "
+                f"{type(e).__name__}: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+            del kernels[name]
     _ = _time_runner(copy_run, None, cx, inner)
     _ = _time_runner(copy_run, None, cx, inner)
 

@@ -68,6 +68,14 @@ sys.exit(0 if best < 5e-3 else 3)
 def run(cmd, timeout, log_path, env=None):
     print(f"== {' '.join(cmd)} (timeout {timeout}s)", flush=True)
     t0 = time.time()
+    if env is None:
+        env = os.environ.copy()
+        # benches/*.py import sprs_tpu: `python benches/foo.py` puts
+        # benches/ (not the repo root) on sys.path — put it there
+        # explicitly (APPEND to any existing path, e.g. the axon site).
+        env["PYTHONPATH"] = REPO + (
+            ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
     with open(log_path, "ab") as lf:
         lf.write(f"\n==== {time.strftime('%H:%M:%S')} {cmd}\n".encode())
         lf.flush()
@@ -77,7 +85,7 @@ def run(cmd, timeout, log_path, env=None):
                 stdout=lf,
                 stderr=subprocess.STDOUT,
                 timeout=timeout,
-                env=env or os.environ.copy(),
+                env=env,
                 cwd=REPO,
             )
             rc = p.returncode

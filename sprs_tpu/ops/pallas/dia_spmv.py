@@ -283,24 +283,36 @@ def _make_manual_kernel(offsets, blk, grp, depth, acc_dtype, n_tiles):
     xw = sup + 2 * blk
 
     def kernel(dflat_hbm, xg_hbm, o_hbm):
-        def body(dat_s, x_s, y_s, dsem, xsem, ysem):
+        # Scratch is ``depth`` SEPARATE 1-D VMEM buffers per stream, not
+        # one (depth, N) buffer: Mosaic tiles a 2-D f32 memref (4, 128)
+        # over its last two dims, so slicing ONE row of a (depth, N)
+        # buffer is an unaligned tile slice and hard-fails compilation
+        # ("slice shape along dimension 0 must be aligned to tiling").
+        # The slot index is a static Python int (the loops are unrolled),
+        # so a Python list of refs indexes fine.
+        def body(*refs):
+            dat_bufs = refs[0:depth]
+            x_bufs = refs[depth : 2 * depth]
+            y_bufs = refs[2 * depth : 3 * depth]
+            dsem, xsem, ysem = refs[3 * depth :]
+
             def dat_dma(slot, t):
                 return pltpu.make_async_copy(
                     dflat_hbm.at[pl.ds(t * nd * sup, nd * sup)],
-                    dat_s.at[slot],
+                    dat_bufs[slot],
                     dsem.at[slot],
                 )
 
             def x_dma(slot, t):
                 return pltpu.make_async_copy(
                     xg_hbm.at[pl.ds(t * sup + sup - blk, xw)],
-                    x_s.at[slot],
+                    x_bufs[slot],
                     xsem.at[slot],
                 )
 
             def y_dma(slot, t):
                 return pltpu.make_async_copy(
-                    y_s.at[slot],
+                    y_bufs[slot],
                     o_hbm.at[pl.ds(t * sup, sup)],
                     ysem.at[slot],
                 )
@@ -316,22 +328,21 @@ def _make_manual_kernel(offsets, blk, grp, depth, acc_dtype, n_tiles):
                 dat_dma(slot, t).wait()
                 x_dma(slot, t).wait()
                 for g in range(grp):
-                    whole = x_s[slot, g * blk : (g + 3) * blk].reshape(
-                        1, 3 * blk
-                    )
+                    whole = x_bufs[slot][
+                        g * blk : (g + 3) * blk
+                    ].reshape(1, 3 * blk)
                     acc = jnp.zeros((1, blk), acc_dtype)
                     for d, off in enumerate(offsets):
                         xs = _window_slice(whole, blk, off)
-                        seg = dat_s[
-                            slot,
-                            (g * nd + d) * blk : (g * nd + d + 1) * blk,
+                        seg = dat_bufs[slot][
+                            (g * nd + d) * blk : (g * nd + d + 1) * blk
                         ]
                         acc = acc + (seg.reshape(1, blk) * xs).astype(
                             acc_dtype
                         )
-                    y_s[slot, g * blk : (g + 1) * blk] = acc.reshape(
+                    y_bufs[slot][g * blk : (g + 1) * blk] = acc.reshape(
                         blk
-                    ).astype(y_s.dtype)
+                    ).astype(y_bufs[slot].dtype)
                 y_dma(slot, t).start()
                 nxt = t + depth
                 if nxt < n_tiles:
@@ -342,12 +353,21 @@ def _make_manual_kernel(offsets, blk, grp, depth, acc_dtype, n_tiles):
 
         pl.run_scoped(
             body,
-            dat_s=pltpu.VMEM((depth, nd * sup), dflat_dtype_holder[0]),
-            x_s=pltpu.VMEM((depth, xw), x_dtype_holder[0]),
-            y_s=pltpu.VMEM((depth, sup), out_dtype_holder[0]),
-            dsem=pltpu.SemaphoreType.DMA((depth,)),
-            xsem=pltpu.SemaphoreType.DMA((depth,)),
-            ysem=pltpu.SemaphoreType.DMA((depth,)),
+            *[
+                pltpu.VMEM((nd * sup,), dflat_dtype_holder[0])
+                for _ in range(depth)
+            ],
+            *[
+                pltpu.VMEM((xw,), x_dtype_holder[0])
+                for _ in range(depth)
+            ],
+            *[
+                pltpu.VMEM((sup,), out_dtype_holder[0])
+                for _ in range(depth)
+            ],
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         )
 
     # dtype holders are filled by the wrapper before tracing
