@@ -21,6 +21,7 @@ from .ldl_super import (
     panels_from_csc,
     solve_supernodal,
 )
+from .ldl_mf import MfPlan, build_mf_plan, numeric_multifrontal
 from .supernodes import (
     Supernodes,
     amalgamate,
@@ -77,6 +78,9 @@ __all__ = [
     "Supernodes",
     "amalgamate",
     "amalgamate_union",
+    "MfPlan",
+    "build_mf_plan",
+    "numeric_multifrontal",
     "SuperPlan",
     "SupernodalPlanError",
     "build_super_plan",

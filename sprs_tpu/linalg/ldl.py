@@ -379,6 +379,17 @@ class LdlSymbolic:
             object.__setattr__(self, "_super_plan", cached)
         return cached
 
+    def mf_plan(self, **kwargs):
+        """The multifrontal-lite schedule for this pattern (built
+        lazily, cached).  Raises ``SupernodalPlanError`` if infeasible."""
+        cached = self.__dict__.get("_mf_plan")
+        if cached is None:
+            from .ldl_mf import build_mf_plan
+
+            cached = build_mf_plan(self, **kwargs)
+            object.__setattr__(self, "_mf_plan", cached)
+        return cached
+
     def factor(self, mat: CsMat, *, backend: str = "auto") -> "LdlNumeric":
         return LdlNumeric.factor(self, mat, backend=backend)
 
@@ -534,6 +545,11 @@ class LdlNumeric:
             from .ldl_super import numeric_supernodal
 
             lx, d = numeric_supernodal(sym.super_plan(), a.data)
+            return cls(sym, lx, d)
+        if backend == "mf":
+            from .ldl_mf import numeric_multifrontal
+
+            lx, d = numeric_multifrontal(sym.mf_plan(), a.data)
             return cls(sym, lx, d)
         if sym.n * sym.wl > 1 << 28:
             # the scan numeric needs the padded (n, wl) pattern twins —

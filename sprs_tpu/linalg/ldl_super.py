@@ -125,22 +125,44 @@ class SuperPlan:
         return cls(n, S, W, MR, P, *leaves)
 
 
-def build_super_plan(
+@dataclasses.dataclass
+class _Prelude:
+    """Shared host-side plan machinery: supernode geometry, membership
+    queries, assembly/extraction maps, and the update-pair list.  Built
+    once and consumed by both the left-looking ``build_super_plan`` and
+    the multifrontal-lite ``ldl_mf.build_mf_plan``."""
+
+    n: int
+    S: int
+    W: int
+    MR: int
+    P: int
+    of: np.ndarray  # (n,) column -> supernode
+    c0: np.ndarray
+    c1: np.ndarray
+    w: np.ndarray
+    rows: np.ndarray
+    off: np.ndarray  # (S+1,)
+    below_ptr: np.ndarray
+    below_flat: np.ndarray
+    total_below: int
+    below_owner: np.ndarray
+    asm_src: np.ndarray
+    asm_dst: np.ndarray
+    pair_d: np.ndarray
+    pair_t: np.ndarray
+    csc_gather: np.ndarray
+    member_slot: object  # vectorized (snode, g) -> (slot, found)
+
+
+def _build_prelude(
     sym,
     *,
-    max_width: int = 128,
-    max_zeros: int = 32,
-    rel_zeros: float = 0.65,
-    panel_limit: int = 1 << 28,
-    map_limit: int = 1 << 27,
-) -> SuperPlan:
-    """Build the supernodal schedule from an ``LdlSymbolic``.
-
-    ``panel_limit`` bounds the flat panel array length (elements); it
-    must stay < 2^29 so int32 position arithmetic (with the OOB
-    sentinel P) cannot overflow.  ``map_limit`` bounds the (T, MR)
-    row-map table.  Exceeding either raises ``SupernodalPlanError``.
-    """
+    max_width: int,
+    max_zeros: int,
+    rel_zeros: float,
+    panel_limit: int,
+) -> _Prelude:
     n = sym.n
     if n == 0:
         raise SupernodalPlanError("empty matrix")
@@ -233,44 +255,115 @@ def build_super_plan(
         pair_t = uniq % S
     else:
         pair_d = pair_t = np.zeros(0, dtype=np.int64)
+
+    # --- extraction: CSC slot -> panel position ------------------------
+    colj = np.repeat(np.arange(n, dtype=np.int64), col_size)
+    s_c = of[colj]
+    r = li
+    in_diag3 = r < c1[s_c]
+    bslot3, bfound3 = member_slot(s_c, r)
+    if not np.all(in_diag3 | bfound3):
+        raise SupernodalPlanError("L pattern row outside supernode structure")
+    rslot3 = np.where(in_diag3, r - c0[s_c], bslot3)
+    csc_gather = off[s_c] + rslot3 * W + (colj - c0[s_c])
+
+    return _Prelude(
+        n=n,
+        S=S,
+        W=W,
+        MR=MR,
+        P=P,
+        of=of,
+        c0=c0,
+        c1=c1,
+        w=w,
+        rows=rows,
+        off=off,
+        below_ptr=below_ptr,
+        below_flat=below_flat,
+        total_below=total_below,
+        below_owner=below_owner,
+        asm_src=asm_src,
+        asm_dst=asm_dst,
+        pair_d=pair_d,
+        pair_t=pair_t,
+        csc_gather=csc_gather,
+        member_slot=member_slot,
+    )
+
+
+def _pair_rmap(pre: _Prelude, pair_d, pair_t):
+    """(npairs, MR) target row-slot -> descendant panel row-slot table
+    (sentinel MR where the target slot has no shared row)."""
+    from .. import native
+
+    npairs = pair_d.shape[0]
+    if not npairs:
+        return np.zeros((0, pre.MR), dtype=np.int32)
+    rmap = native.super_rmap(
+        pair_d, pair_t, pre.c0, pre.w, pre.below_ptr, pre.below_flat,
+        pre.MR,
+    )
+    # keep int32 end-to-end: the (npairs, MR) table is 450 MB at
+    # 262k rows and every widening/copy pass costs seconds
+    if rmap is not None:
+        return rmap
+    # numpy fallback: broadcast (npairs, MR) membership queries —
+    # measured 32 s vs <1 s for the C++ merges at 262k rows
+    MR = pre.MR
+    w, rows, c0 = pre.w, pre.rows, pre.c0
+    below_ptr, below_flat = pre.below_ptr, pre.below_flat
+    slots = np.arange(MR, dtype=np.int64)
+    tw = w[pair_t][:, None]
+    trows = rows[pair_t][:, None]
+    g_diag = c0[pair_t][:, None] + slots[None, :]
+    bidx = below_ptr[pair_t][:, None] + (slots[None, :] - tw)
+    in_diag_slot = slots[None, :] < tw
+    in_below_slot = (slots[None, :] >= tw) & (slots[None, :] < trows)
+    bidx_c = np.clip(bidx, 0, max(pre.total_below - 1, 0))
+    g = np.where(
+        in_diag_slot,
+        g_diag,
+        np.where(in_below_slot, below_flat[bidx_c], -1),
+    )
+    dslot, dfound = pre.member_slot(
+        np.broadcast_to(pair_d[:, None], g.shape), g
+    )
+    return np.where(dfound, dslot, MR).astype(np.int32)
+
+
+def build_super_plan(
+    sym,
+    *,
+    max_width: int = 128,
+    max_zeros: int = 32,
+    rel_zeros: float = 0.65,
+    panel_limit: int = 1 << 28,
+    map_limit: int = 1 << 27,
+) -> SuperPlan:
+    """Build the supernodal schedule from an ``LdlSymbolic``.
+
+    ``panel_limit`` bounds the flat panel array length (elements); it
+    must stay < 2^29 so int32 position arithmetic (with the OOB
+    sentinel P) cannot overflow.  ``map_limit`` bounds the (T, MR)
+    row-map table.  Exceeding either raises ``SupernodalPlanError``.
+    """
+    pre = _build_prelude(
+        sym,
+        max_width=max_width,
+        max_zeros=max_zeros,
+        rel_zeros=rel_zeros,
+        panel_limit=panel_limit,
+    )
+    n, S, W, MR, P = pre.n, pre.S, pre.W, pre.MR, pre.P
+    pair_d, pair_t = pre.pair_d, pre.pair_t
     npairs = pair_d.shape[0]
     T = npairs + S
     if T * MR > map_limit:
         raise SupernodalPlanError(
             f"row-map table {T}x{MR} exceeds limit {map_limit}"
         )
-
-    # --- per-pair row map: target row-slot -> descendant panel row-slot
-    from .. import native
-
-    if npairs:
-        rmap = native.super_rmap(
-            pair_d, pair_t, c0, w, below_ptr, below_flat, MR
-        )
-        # keep int32 end-to-end: the (npairs, MR) table is 450 MB at
-        # 262k rows and every widening/copy pass costs seconds
-    else:
-        rmap = np.zeros((0, MR), dtype=np.int32)
-    if npairs and rmap is None:
-        # numpy fallback: broadcast (npairs, MR) membership queries —
-        # measured 32 s vs <1 s for the C++ merges at 262k rows
-        slots = np.arange(MR, dtype=np.int64)
-        tw = w[pair_t][:, None]
-        trows = rows[pair_t][:, None]
-        g_diag = c0[pair_t][:, None] + slots[None, :]
-        bidx = below_ptr[pair_t][:, None] + (slots[None, :] - tw)
-        in_diag_slot = slots[None, :] < tw
-        in_below_slot = (slots[None, :] >= tw) & (slots[None, :] < trows)
-        bidx_c = np.clip(bidx, 0, max(total_below - 1, 0))
-        g = np.where(
-            in_diag_slot,
-            g_diag,
-            np.where(in_below_slot, below_flat[bidx_c], -1),
-        )
-        dslot, dfound = member_slot(
-            np.broadcast_to(pair_d[:, None], g.shape), g
-        )
-        rmap = np.where(dfound, dslot, MR).astype(np.int32)
+    rmap = _pair_rmap(pre, pair_d, pair_t)
 
     # --- task schedule: for each target s ascending, its updates
     # (descendants ascending) then its factor step -----------------------
@@ -300,16 +393,9 @@ def build_super_plan(
     t_src[fact_idx] = np.arange(S)
     t_dst[fact_idx] = np.arange(S)
 
-    # --- extraction: CSC slot -> panel position ------------------------
-    colj = np.repeat(np.arange(n, dtype=np.int64), col_size)
-    s_c = of[colj]
-    r = li
-    in_diag3 = r < c1[s_c]
-    bslot3, bfound3 = member_slot(s_c, r)
-    if not np.all(in_diag3 | bfound3):
-        raise SupernodalPlanError("L pattern row outside supernode structure")
-    rslot3 = np.where(in_diag3, r - c0[s_c], bslot3)
-    csc_gather = off[s_c] + rslot3 * W + (colj - c0[s_c])
+    c0, below_ptr, below_flat = pre.c0, pre.below_ptr, pre.below_flat
+    w, rows, off = pre.w, pre.rows, pre.off
+    asm_src, asm_dst, csc_gather = pre.asm_src, pre.asm_dst, pre.csc_gather
 
     # int32 storage throughout (panel_limit < 2^29 and map widths < 2^31
     # guarantee the ranges): the plan arrays embed as HLO constants when
@@ -339,33 +425,13 @@ def build_super_plan(
     )
 
 
-def numeric_supernodal(plan: SuperPlan, data: jax.Array):
-    """Jittable supernodal numeric: returns ``(l_data, d)`` in the same
-    CSC-slot layout as the row-scan numeric (``ldl._numeric_device``).
-
-    Zero/negative-pivot poisoning follows the row-scan contract: XLA
-    cannot raise, so singular inputs surface as NaN/Inf in the outputs.
-    """
-    n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
+def _panel_kernels(off_a, c0_a, w_a, rows_a, W: int, MR: int, dtype):
+    """The two per-task device kernels shared by the left-looking
+    (``numeric_supernodal``) and multifrontal-lite
+    (``ldl_mf.numeric_multifrontal``) numerics: a pairwise Schur
+    update and a dense panel factorization."""
     PB = MR - W
-    dtype = data.dtype
-    if not jnp.issubdtype(dtype, jnp.floating):
-        dtype = jnp.result_type(dtype, jnp.float32)
-        data = data.astype(dtype)
-
-    off_a = jnp.asarray(plan.off, dtype=INDEX_DTYPE)
-    c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
-    w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
-    rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
     colsW = jnp.arange(W, dtype=INDEX_DTYPE)
-
-    # assemble A's lower triangle into the zero-initialized panels
-    Lp0 = (
-        jnp.zeros((P,), dtype)
-        .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
-        .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
-    )
-    dext0 = jnp.zeros((n + W,), dtype)
 
     def _update(Lp, dext, src, dst, rmap):
         # Schur update: target[r, c] -= sum_k Ld[rmap[r], k] * D[k] *
@@ -437,6 +503,39 @@ def numeric_supernodal(plan: SuperPlan, data: jax.Array):
         Lp = lax.dynamic_update_slice(Lp, vals.reshape(-1), (off_s,))
         dext = lax.dynamic_update_slice(dext, dvec, (c0_a[s],))
         return Lp, dext
+
+    return _update, _factor
+
+
+def numeric_supernodal(plan: SuperPlan, data: jax.Array):
+    """Jittable supernodal numeric: returns ``(l_data, d)`` in the same
+    CSC-slot layout as the row-scan numeric (``ldl._numeric_device``).
+
+    Zero/negative-pivot poisoning follows the row-scan contract: XLA
+    cannot raise, so singular inputs surface as NaN/Inf in the outputs.
+    """
+    n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
+    dtype = data.dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(dtype, jnp.float32)
+        data = data.astype(dtype)
+
+    off_a = jnp.asarray(plan.off, dtype=INDEX_DTYPE)
+    c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
+    w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
+    rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
+
+    # assemble A's lower triangle into the zero-initialized panels
+    Lp0 = (
+        jnp.zeros((P,), dtype)
+        .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
+        .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
+    )
+    dext0 = jnp.zeros((n + W,), dtype)
+
+    _update, _factor = _panel_kernels(
+        off_a, c0_a, w_a, rows_a, W, MR, dtype
+    )
 
     def body(carry, xs):
         Lp, dext = carry
