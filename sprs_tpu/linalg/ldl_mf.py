@@ -71,7 +71,7 @@ class MfPlan:
     MR: int
     P: int
     F: int  # number of fronts
-    RF: int  # max |R_f| (padded to a multiple of 8)
+    RF: int  # max |R_f| over fronts (diagnostic)
     CF: int  # max front column count (padded to a multiple of 8)
     c0: np.ndarray
     w: np.ndarray
@@ -80,19 +80,29 @@ class MfPlan:
     asm_src: np.ndarray
     asm_dst: np.ndarray
     t_type: np.ndarray
-    t_src: np.ndarray
-    t_dst: np.ndarray
+    t_src: np.ndarray  # update: descendant; factor: snode; agg: bucket
+    t_dst: np.ndarray  # update/factor: target snode; agg: slot in bucket
     t_rmap: np.ndarray  # (T, MR), sentinel MR
     csc_gather: np.ndarray
     below_ptr: np.ndarray
     below_flat: np.ndarray
-    f_colstart: np.ndarray  # (F,) first global column of each front
-    bmap: np.ndarray  # (F, RF, CF) flat panel positions, sentinel P
-    agg_dst: np.ndarray  # (F, RF, RF) flat panel positions, sentinel P
+    # fronts are BUCKETED by padded row count so the aggregation tables
+    # pay per-bucket, not global, padding: measured 262k camd, global
+    # (F, RFmax, ·) padding costs 15-19 GB while Σ nr² + Σ nr·nc is
+    # ~50M elements — bucket padding lands within ~2x of the exact sum.
+    colstarts: tuple  # per bucket: (F_b,) first global column
+    bmaps: tuple  # per bucket: (F_b, RF_b, CF) positions, sentinel P
+    aggdsts: tuple  # per bucket: (F_b, RF_b, RF_b) positions, sentinel P
 
     @property
     def n_tasks(self) -> int:
         return self.t_type.shape[0]
+
+    @property
+    def agg_table_elems(self) -> int:
+        return sum(b.size for b in self.bmaps) + sum(
+            a.size for a in self.aggdsts
+        )
 
     def tree_flatten(self):
         leaves = (
@@ -109,9 +119,9 @@ class MfPlan:
             self.csc_gather,
             self.below_ptr,
             self.below_flat,
-            self.f_colstart,
-            self.bmap,
-            self.agg_dst,
+            self.colstarts,
+            self.bmaps,
+            self.aggdsts,
         )
         return leaves, (
             self.n,
@@ -130,36 +140,87 @@ class MfPlan:
         return cls(n, S, W, MR, P, F, RF, CF, *leaves)
 
 
-def _partition_fronts(pre, max_front_cols: int, max_front_rows: int):
-    """Greedy contiguous chunking of the supernode sequence: cut when
-    the next supernode would push the front past the column budget or
-    past the (upper-bound) distinct below-row budget.  The row estimate
-    counts distinct below rows of the members — an upper bound on
-    |R_f| (rows landing inside the front are later excluded), O(total
-    below-structure) time via a per-row front-id mark."""
+def _partition_fronts(pre, parent_col, max_front_cols: int, max_front_rows: int):
+    """Subtree-aligned front partition.
+
+    A front that is a COMPLETE subtree of the supernodal etree has
+    R_f ⊆ below(root) (every member's below row beyond the subtree
+    propagates along the etree path through the root — the classic
+    multifrontal update-matrix containment), so subtree fronts keep
+    both |R_f| and the intra-front pair count small: measured at the
+    262k-row camd Laplacian, subtree cuts collapse intra pairs from
+    141k (arbitrary greedy chunks: 71-89k) to ~5.4k.
+
+    Partition: (1) maximal subtrees whose column count fits the budget
+    become fronts; (2) the leftover supernodes (ancestors whose
+    subtrees exceed the budget) are greedily merged into contiguous
+    runs under the column budget and a distinct-below-row estimate —
+    in postorder a parent directly follows its last child, so ancestor
+    chains are contiguous and merge well.  Any contiguous partition is
+    exact (module docstring); alignment is purely an efficiency knob.
+    """
     S, n = pre.S, pre.n
-    w, bp, bf = pre.w, pre.below_ptr, pre.below_flat
-    mark = np.full(n, -1, dtype=np.int64)
+    w, bp, bf, of = pre.w, pre.below_ptr, pre.below_flat, pre.of
+    c1 = pre.c1
+    # supernodal etree: parent(s) = owner of the column-etree parent of
+    # s's last column (> s for non-roots; postorder makes subtrees
+    # contiguous intervals [dmin[s], s])
+    pc = parent_col[c1 - 1]
+    par_sn = np.where(pc >= 0, of[np.clip(pc, 0, n - 1)], -1)
+    cols_sub = w.astype(np.int64).copy()
+    dmin = np.arange(S, dtype=np.int64)
+    for s in range(S):
+        p = par_sn[s]
+        if p >= 0:
+            cols_sub[p] += cols_sub[s]
+            if dmin[s] < dmin[p]:
+                dmin[p] = dmin[s]
+    # a complete-subtree front has R_f ⊆ below(root), so the root's
+    # below count is the exact row bound for the rows budget
+    counts = np.diff(bp)
+    fits = (cols_sub <= max_front_cols) & (counts <= max_front_rows)
+    pfit = np.ones(S, dtype=bool)
+    ok_par = par_sn >= 0
+    pfit[ok_par] = ~fits[par_sn[ok_par]]
+    is_root = fits & pfit
+    starts = {int(dmin[r]): int(r) + 1 for r in np.nonzero(is_root)[0]}
+
     fb = [0]
+    mark = np.full(n, -1, dtype=np.int64)
     cur_cols = 0
     cur_rows = 0
     fid = 0
-    for s in range(S):
-        seg = bf[bp[s] : bp[s + 1]]
+    pos = 0
+    while pos < S:
+        if pos in starts:
+            # complete-subtree front
+            if fb[-1] != pos:
+                fb.append(pos)
+                fid += 1
+            pos = starts[pos]
+            fb.append(pos)
+            fid += 1
+            cur_cols = 0
+            cur_rows = 0
+            continue
+        # leftover supernode: greedy merge into the running front
+        seg = bf[bp[pos] : bp[pos + 1]]
         new = int(np.count_nonzero(mark[seg] != fid))
-        if s > fb[-1] and (
-            cur_cols + int(w[s]) > max_front_cols
+        if pos > fb[-1] and (
+            cur_cols + int(w[pos]) > max_front_cols
             or cur_rows + new > max_front_rows
         ):
-            fb.append(s)
+            fb.append(pos)
             fid += 1
             new = seg.shape[0]
             cur_cols = 0
             cur_rows = 0
         mark[seg] = fid
-        cur_cols += int(w[s])
+        cur_cols += int(w[pos])
         cur_rows += new
-    fb.append(S)
+        pos += 1
+    if fb[-1] != S:
+        fb.append(S)
     return np.asarray(fb, dtype=np.int64)
 
 
@@ -192,7 +253,9 @@ def build_mf_plan(
     of, c0, c1, w = pre.of, pre.c0, pre.c1, pre.w
     bp, bf = pre.below_ptr, pre.below_flat
 
-    fb = _partition_fronts(pre, max_front_cols, max_front_rows)
+    fb = _partition_fronts(
+        pre, np.asarray(sym.parent), max_front_cols, max_front_rows
+    )
     F = fb.shape[0] - 1
     front_of = np.repeat(np.arange(F, dtype=np.int64), np.diff(fb))
 
@@ -201,82 +264,145 @@ def build_mf_plan(
     pair_d = pre.pair_d[keep]
     pair_t = pre.pair_t[keep]
     npairs = pair_d.shape[0]
-    T = npairs + S + F
+
+    # --- per-front distinct below rows at/beyond the front's column
+    # end, vectorized: one global unique over (front, row) keys ---------
+    f_colstart = c0[fb[:-1]]
+    f_colend = c1[fb[1:] - 1]
+    owner_front = front_of[pre.below_owner]
+    uk = np.unique(owner_front * np.int64(n) + bf)
+    fid_u = uk // n
+    row_u = uk % n
+    keep_u = row_u >= f_colend[fid_u]
+    fid_r = fid_u[keep_u]
+    rows_cat = row_u[keep_u]  # per-front ascending (key order)
+    nr_arr = np.bincount(fid_r, minlength=F)
+    fptr = np.zeros(F + 1, dtype=np.int64)
+    np.cumsum(nr_arr, out=fptr[1:])
+    nc_arr = f_colend - f_colstart
+    RF = int(nr_arr.max()) if F else 0
+    CF = _ceil8(int(nc_arr.max()))
+
+    # --- bucket fronts by padded row count (8/16/32, then 64-steps) ----
+    emit = nr_arr > 0
+    bsz = np.where(
+        nr_arr <= 8,
+        8,
+        np.where(
+            nr_arr <= 16, 16, np.where(nr_arr <= 32, 32, -(-nr_arr // 64) * 64)
+        ),
+    ).astype(np.int64)
+    bucket_sizes = sorted(set(int(b) for b in bsz[emit]))
+    nb = len(bucket_sizes)
+    b_of_size = {b: i for i, b in enumerate(bucket_sizes)}
+    fr_bucket = np.full(F, -1, dtype=np.int64)
+    fr_slot = np.zeros(F, dtype=np.int64)
+    for bi, b in enumerate(bucket_sizes):
+        in_b = emit & (bsz == b)
+        fr_bucket[in_b] = bi
+        fr_slot[in_b] = np.arange(int(in_b.sum()))
+    fcnt = [int((fr_bucket == bi).sum()) for bi in range(nb)]
+    total_tab = sum(
+        fcnt[bi] * bucket_sizes[bi] * (CF + bucket_sizes[bi])
+        for bi in range(nb)
+    )
+    if total_tab > agg_limit:
+        raise SupernodalPlanError(
+            f"aggregation tables ({total_tab} elements) exceed limit "
+            f"{agg_limit}; raise the front budgets or the limit"
+        )
+    T = npairs + S + int(emit.sum())
     if T * MR > map_limit:
         raise SupernodalPlanError(
             f"row-map table {T}x{MR} exceeds limit {map_limit}"
         )
     rmap = _pair_rmap(pre, pair_d, pair_t)
 
-    # --- per-front aggregation maps ------------------------------------
-    f_colstart = c0[fb[:-1]]
-    f_colend = c1[fb[1:] - 1]
-    r_lists = []
-    for f in range(F):
-        rows_f = np.unique(bf[bp[fb[f]] : bp[fb[f + 1]]])
-        r_lists.append(rows_f[rows_f >= f_colend[f]])
-    RF = _ceil8(max((r.shape[0] for r in r_lists), default=1))
-    CF = _ceil8(int((f_colend - f_colstart).max()))
-    if F * RF * (CF + RF) > agg_limit:
-        raise SupernodalPlanError(
-            f"aggregation tables {F}x{RF}x({CF}+{RF}) exceed limit "
-            f"{agg_limit}; raise the front budgets or the limit"
-        )
-    bmap = np.full((F, RF, CF), P, dtype=np.int32)
-    agg_dst = np.full((F, RF, RF), P, dtype=np.int32)
     off64 = pre.off
-    for f in range(F):
-        rows_f = r_lists[f]
-        nr = rows_f.shape[0]
-        nc = int(f_colend[f] - f_colstart[f])
-        if nr == 0:
-            continue
-        cols = np.arange(f_colstart[f], f_colend[f], dtype=np.int64)
-        s_c = of[cols]
-        # B[i, j] = L[rows_f[i], cols[j]] — all rows_f are at/beyond the
-        # front's column end, so only below-structure membership applies;
-        # misses are structural zeros (gather fills 0, exact by the
-        # padding argument in ldl_super's module docstring).
-        slot, found = pre.member_slot(
-            np.broadcast_to(s_c[None, :], (nr, nc)),
-            np.broadcast_to(rows_f[:, None], (nr, nc)),
+    ef = np.nonzero(emit)[0]
+
+    def _grid_queries(sizes_i, sizes_j):
+        """Flat (front, i, j) enumeration over per-front grids."""
+        g = sizes_i[ef] * sizes_j[ef]
+        fid_q = np.repeat(ef, g)
+        gptr = np.zeros(ef.shape[0] + 1, dtype=np.int64)
+        np.cumsum(g, out=gptr[1:])
+        q = np.arange(gptr[-1], dtype=np.int64) - np.repeat(gptr[:-1], g)
+        i = q // sizes_j[fid_q]
+        j = q % sizes_j[fid_q]
+        return fid_q, i, j
+
+    # B[i, j] = L[rows_f[i], cols_f[j]] — every R_f row is at/beyond
+    # the front's column end, so only below-structure membership
+    # applies; misses are structural zeros (gather fills 0, exact by
+    # the padding argument in ldl_super's module docstring).
+    bmaps = [
+        np.full((fcnt[bi], bucket_sizes[bi], CF), P, dtype=np.int32)
+        for bi in range(nb)
+    ]
+    aggdsts = [
+        np.full(
+            (fcnt[bi], bucket_sizes[bi], bucket_sizes[bi]), P, dtype=np.int32
         )
-        bmap[f, :nr, :nc] = np.where(
-            found,
-            off64[s_c][None, :] + slot * W + (cols - c0[s_c])[None, :],
-            P,
+        for bi in range(nb)
+    ]
+    colstarts = [
+        f_colstart[(fr_bucket == bi)].astype(np.int32) for bi in range(nb)
+    ]
+    if ef.size:
+        fid_q, i_q, j_q = _grid_queries(nr_arr, nc_arr)
+        r_q = rows_cat[fptr[fid_q] + i_q]
+        c_q = f_colstart[fid_q] + j_q
+        s_c = of[c_q]
+        slot, found = pre.member_slot(s_c, r_q)
+        pos = np.where(
+            found, off64[s_c] + slot * W + (c_q - c0[s_c]), P
         )
-        # target positions for (r=rows_f[i], c=rows_f[j]), lower
-        # triangle r >= c; position in the panel owning column c.
-        s_t = of[rows_f]
-        in_diag = rows_f[:, None] < c1[s_t][None, :]
-        tslot, tfound = pre.member_slot(
-            np.broadcast_to(s_t[None, :], (nr, nr)),
-            np.broadcast_to(rows_f[:, None], (nr, nr)),
-        )
-        lower = rows_f[:, None] >= rows_f[None, :]
-        rslot = np.where(in_diag, rows_f[:, None] - c0[s_t][None, :], tslot)
-        # pairs with NO position in the pattern get the drop sentinel:
-        # U[i, j] ≠ 0 needs a front column k with L[r,k], L[c,k] both
-        # nonzero, and the fill property (r, c ∈ struct(k), r ≥ c > k ⇒
-        # r ∈ struct(c)) puts every such pair inside the pattern — a
-        # patternless pair's U entry is a product of exact zeros.
+        for bi in range(nb):
+            m = fr_bucket[fid_q] == bi
+            RFb = bucket_sizes[bi]
+            flat = bmaps[bi].reshape(-1)
+            flat[
+                fr_slot[fid_q[m]] * (RFb * CF) + i_q[m] * CF + j_q[m]
+            ] = pos[m]
+
+        # aggregate targets: (r=rows_f[i], c=rows_f[j]), lower triangle
+        # r >= c, in the panel owning column c.  Patternless pairs get
+        # the drop sentinel: U[i,j] ≠ 0 needs a front column k with
+        # L[r,k], L[c,k] both nonzero, and the fill property (r, c ∈
+        # struct(k), r ≥ c > k ⇒ r ∈ struct(c)) puts every such pair
+        # inside the pattern — a patternless pair's U entry is a
+        # product of exact zeros.
+        fid_q, i_q, j_q = _grid_queries(nr_arr, nr_arr)
+        r_i = rows_cat[fptr[fid_q] + i_q]
+        r_j = rows_cat[fptr[fid_q] + j_q]
+        s_t = of[r_j]
+        in_diag = r_i < c1[s_t]
+        tslot, tfound = pre.member_slot(s_t, r_i)
+        lower = r_i >= r_j
+        rslot = np.where(in_diag, r_i - c0[s_t], tslot)
         ok = in_diag | tfound
-        agg_dst[f, :nr, :nr] = np.where(
-            lower & ok,
-            off64[s_t][None, :] + rslot * W + (rows_f[None, :] - c0[s_t]),
-            P,
+        pos = np.where(
+            lower & ok, off64[s_t] + rslot * W + (r_j - c0[s_t]), P
         )
+        for bi in range(nb):
+            m = fr_bucket[fid_q] == bi
+            RFb = bucket_sizes[bi]
+            flat = aggdsts[bi].reshape(-1)
+            flat[
+                fr_slot[fid_q[m]] * (RFb * RFb) + i_q[m] * RFb + j_q[m]
+            ] = pos[m]
 
     # --- task schedule: per front, per target (updates then factor),
-    # then the front's aggregate -----------------------------------------
+    # then the front's aggregate (skipped when R_f is empty) -------------
     upd_cnt = (
         np.bincount(pair_t, minlength=S) if npairs else np.zeros(S, np.int64)
     )
     base_ptr = np.zeros(S + 1, dtype=np.int64)
     np.cumsum(upd_cnt + 1, out=base_ptr[1:])
-    # shift supernode s's task block by the number of aggregate tasks
-    # of earlier fronts; front f's aggregate lands at base_ptr[fb[f+1]]+f
+    pre_agg = np.zeros(F + 1, dtype=np.int64)
+    np.cumsum(emit, out=pre_agg[1:])
+    shift = pre_agg[front_of]  # aggregates of earlier fronts
     t_type = np.zeros(T, dtype=np.int32)
     t_src = np.zeros(T, dtype=np.int64)
     t_dst = np.zeros(T, dtype=np.int64)
@@ -290,18 +416,19 @@ def build_mf_plan(
         grp_first[newgrp] = np.nonzero(newgrp)[0]
         grp_first = np.maximum.accumulate(grp_first)
         rank = np.arange(npairs, dtype=np.int64) - grp_first
-        upd_idx = base_ptr[pt_sorted] + front_of[pt_sorted] + rank
+        upd_idx = base_ptr[pt_sorted] + shift[pt_sorted] + rank
         t_src[upd_idx] = pair_d[order]
         t_dst[upd_idx] = pt_sorted
         t_rmap[upd_idx] = rmap[order]
     sArr = np.arange(S, dtype=np.int64)
-    fact_idx = base_ptr[1:] - 1 + front_of
+    fact_idx = base_ptr[1:] - 1 + shift
     t_type[fact_idx] = 1
     t_src[fact_idx] = sArr
     t_dst[fact_idx] = sArr
-    agg_idx = base_ptr[fb[1:]] + np.arange(F, dtype=np.int64)
+    agg_idx = base_ptr[fb[1:][emit]] + pre_agg[:-1][emit]
     t_type[agg_idx] = 2
-    t_src[agg_idx] = np.arange(F, dtype=np.int64)
+    t_src[agg_idx] = fr_bucket[emit]
+    t_dst[agg_idx] = fr_slot[emit]
 
     return MfPlan(
         n=n,
@@ -327,9 +454,9 @@ def build_mf_plan(
         below_flat=np.concatenate(
             [bf, np.full(MR, n, dtype=np.int64)]
         ).astype(np.int32),
-        f_colstart=f_colstart.astype(np.int32),
-        bmap=bmap,
-        agg_dst=agg_dst,
+        colstarts=tuple(colstarts),
+        bmaps=tuple(bmaps),
+        aggdsts=tuple(aggdsts),
     )
 
 
@@ -348,9 +475,12 @@ def numeric_multifrontal(plan: MfPlan, data: jax.Array):
     c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
     w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
     rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
-    colstart_a = jnp.asarray(plan.f_colstart, dtype=INDEX_DTYPE)
-    bmap_a = jnp.asarray(plan.bmap, dtype=INDEX_DTYPE)
-    aggdst_a = jnp.asarray(plan.agg_dst, dtype=INDEX_DTYPE)
+    colstarts = [
+        jnp.asarray(c, dtype=INDEX_DTYPE) for c in plan.colstarts
+    ]
+    bmaps = [jnp.asarray(b, dtype=INDEX_DTYPE) for b in plan.bmaps]
+    aggdsts = [jnp.asarray(a, dtype=INDEX_DTYPE) for a in plan.aggdsts]
+    nb = len(bmaps)
 
     Lp0 = (
         jnp.zeros((P,), dtype)
@@ -365,22 +495,38 @@ def numeric_multifrontal(plan: MfPlan, data: jax.Array):
         off_a, c0_a, w_a, rows_a, W, MR, dtype
     )
 
-    def _aggregate(Lp, dext, fidx):
-        z = jnp.zeros((), INDEX_DTYPE)
-        bm = lax.dynamic_slice(bmap_a, (fidx, z, z), (1, RF, CF))[0]
-        # sentinel P is out of bounds for the length-P panel array:
-        # gather fills 0 (structural zero), scatter drops.
-        B = Lp.at[bm].get(mode="fill", fill_value=0)
-        Dv = lax.dynamic_slice(dext, (colstart_a[fidx],), (CF,))
-        # columns of LATER fronts inside the CF window have dext == 0
-        # at this point in the scan (their factor step hasn't run), so
-        # they contribute nothing even where bm hits a real position.
-        U = (B * Dv[None, :]) @ B.T  # (RF, RF) on the MXU
-        ad = lax.dynamic_slice(aggdst_a, (fidx, z, z), (1, RF, RF))[0]
-        Lp = Lp.at[ad.reshape(-1)].add(
-            -U.reshape(-1), mode="drop", indices_are_sorted=False
-        )
-        return Lp, dext
+    def _make_agg_branch(bi):
+        bm_t, ad_t, cs_t = bmaps[bi], aggdsts[bi], colstarts[bi]
+        RFb = bm_t.shape[1]
+
+        def branch(Lp, dext, slot):
+            z = jnp.zeros((), INDEX_DTYPE)
+            bm = lax.dynamic_slice(bm_t, (slot, z, z), (1, RFb, CF))[0]
+            # sentinel P is out of bounds for the length-P panel array:
+            # gather fills 0 (structural zero), scatter drops.
+            B = Lp.at[bm].get(mode="fill", fill_value=0)
+            Dv = lax.dynamic_slice(dext, (cs_t[slot],), (CF,))
+            # columns of LATER fronts inside the CF window have
+            # dext == 0 at this point in the scan (their factor step
+            # hasn't run), so they contribute nothing even where bm
+            # hits a real position.
+            U = (B * Dv[None, :]) @ B.T  # (RFb, RFb) on the MXU
+            ad = lax.dynamic_slice(ad_t, (slot, z, z), (1, RFb, RFb))[0]
+            return (
+                Lp.at[ad.reshape(-1)].add(-U.reshape(-1), mode="drop"),
+                dext,
+            )
+
+        return branch
+
+    agg_branches = [_make_agg_branch(bi) for bi in range(nb)]
+
+    def _aggregate(Lp, dext, bucket, slot):
+        if nb == 0:  # no aggregates anywhere (single front)
+            return Lp, dext
+        if nb == 1:
+            return agg_branches[0](Lp, dext, slot)
+        return lax.switch(bucket, agg_branches, Lp, dext, slot)
 
     def body(carry, xs):
         Lp, dext = carry
@@ -390,7 +536,7 @@ def numeric_multifrontal(plan: MfPlan, data: jax.Array):
             [
                 lambda L, de: _update(L, de, src, dst, rmap),
                 lambda L, de: _factor(L, de, src),
-                lambda L, de: _aggregate(L, de, src),
+                lambda L, de: _aggregate(L, de, src, dst),
             ],
             Lp,
             dext,
