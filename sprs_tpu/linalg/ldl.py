@@ -390,6 +390,21 @@ class LdlSymbolic:
             object.__setattr__(self, "_mf_plan", cached)
         return cached
 
+    def round_schedule(self, plan, **kwargs):
+        """Level-batched round schedule for ``plan`` (lazily cached per
+        plan kind — plans themselves are cached on this symbolic, so
+        identity keying is sound)."""
+        cached = self.__dict__.get("_round_scheds")
+        if cached is None:
+            cached = {}
+            object.__setattr__(self, "_round_scheds", cached)
+        key = id(plan)
+        if key not in cached:
+            from .ldl_batched import build_round_schedule
+
+            cached[key] = build_round_schedule(plan, **kwargs)
+        return cached[key]
+
     def factor(self, mat: CsMat, *, backend: str = "auto") -> "LdlNumeric":
         return LdlNumeric.factor(self, mat, backend=backend)
 
@@ -551,6 +566,16 @@ class LdlNumeric:
 
             lx, d = numeric_multifrontal(sym.mf_plan(), a.data)
             return cls(sym, lx, d)
+        if backend in ("super-batched", "mf-batched"):
+            from .ldl_batched import numeric_batched
+
+            plan = (
+                sym.super_plan()
+                if backend == "super-batched"
+                else sym.mf_plan()
+            )
+            lx, d = numeric_batched(plan, sym.round_schedule(plan), a.data)
+            return cls(sym, lx, d)
         if sym.n * sym.wl > 1 << 28:
             # the scan numeric needs the padded (n, wl) pattern twins —
             # O(n·wl) memory, wl ~ trailing dense-block width under
@@ -677,6 +702,7 @@ class LdlNumeric:
 FILL_NONE = "none"
 FILL_RCM = "rcm"
 FILL_CAMD = "camd"  # served by the native AMD implementation when built
+FILL_ND = "nd"  # nested dissection — balanced etree for batched schedules
 
 
 @dataclasses.dataclass
@@ -701,11 +727,11 @@ class Ldl:
         return self
 
     def postorder(self, flag: bool) -> "Ldl":
-        """Force etree postordering on/off (default: on for 'camd',
-        whose bushy etrees otherwise defeat supernode amalgamation;
-        off otherwise — it composes an extra relabeling into the
-        permutation, which exact-factor golden comparisons don't
-        expect).  Fill and flops are invariant either way."""
+        """Force etree postordering on/off (default: on for 'camd' and
+        'nd', whose bushy etrees otherwise defeat supernode
+        amalgamation; off otherwise — it composes an extra relabeling
+        into the permutation, which exact-factor golden comparisons
+        don't expect).  Fill and flops are invariant either way."""
         self.postorder_flag = flag
         return self
 
@@ -718,12 +744,16 @@ class Ldl:
             from .amd import camd_order
 
             return camd_order(mat)
+        if self.fill_red_method == FILL_ND:
+            from .nd import nd_order
+
+            return nd_order(mat)
         raise ValueError(f"unknown fill-in reduction {self.fill_red_method!r}")
 
     def symbolic(self, mat: CsMat) -> LdlSymbolic:
         po = self.postorder_flag
         if po is None:
-            po = self.fill_red_method == FILL_CAMD
+            po = self.fill_red_method in (FILL_CAMD, FILL_ND)
         return LdlSymbolic.from_matrix(
             mat,
             perm=self._perm(mat),

@@ -1,0 +1,556 @@
+"""Level-batched LDLᵀ numeric — vmapped rounds over independent tasks.
+
+The supernodal (``ldl_super``) and multifrontal-lite (``ldl_mf``)
+numerics run ONE task per ``lax.scan`` step; at 65k rows (camd) that is
+a 34k-step sequential scan whose per-step latency (~90 µs on the
+tunnel chip), not the per-task kernel, dominates — factor 3.23 s where
+the useful HBM traffic is ~0.1 s (BASELINE.md round-2 table).
+
+This module batches the SAME tasks into *rounds* of provably
+independent work and runs one scan step per round:
+
+* **Rounds** come from longest-path scheduling on the task DAG.  Each
+  round has three phases, applied in order: pair updates, front
+  aggregates, panel factors.  A pair update d→t needs factor(d) in a
+  STRICTLY earlier round; a factor of s needs every write into s in
+  the same round or earlier (phase order makes same-round legal); a
+  front aggregate needs its member factors strictly earlier and must
+  not be later than any target's factor round.  Width caps (``bu``,
+  ``bf``, ``ba``) split over-wide levels across consecutive rounds —
+  always legal because updates commute and factors only need *all*
+  their inputs, not a particular round.
+* **Batched kernels**: the per-task panel slices become one gather of
+  B contiguous (MR·W) windows; the Schur products become one batched
+  (B, MR, W) × (B, W, W) MXU matmul; the factor's W-step inner loop
+  runs once per ROUND on (B, W, W) tiles instead of once per task.
+* **Commutative writes**: every panel write is a *delta* accumulated
+  by ``lax.scatter_add`` over contiguous windows
+  (``update_window_dims``), so same-round writes into one panel are
+  order-free: updates already add, and the factor's write is recast as
+  ``(new − old)`` masked to its live rows (the masked delta is exactly
+  0 on overhang rows, so overlapping windows of adjacent panels cannot
+  clobber each other the way a batched SET would).  The D diagonal
+  likewise switches from the sequential full-window overwrite to a
+  live-masked add — identical for every consumer, which all mask to
+  live columns.
+
+Sentinel lanes (round padding) point their windows at a dedicated
+zero-scratch region past the panel array and contribute exact-zero
+deltas, so the scratch stays 0.0 forever and doubles as the
+structural-zero source for the aggregate tables' out-of-pattern
+gathers; aggregate *write* sentinels are remapped to a separate dump
+slot so they cannot pollute it.
+
+Exactness: the per-lane math is bit-identical to the sequential
+kernels; only the SUMMATION ORDER of commutative adds changes (same
+contract as ``ldl_mf`` — golden bit parity lives with the host
+numeric).
+
+Reference capability bar this accelerates:
+/root/reference/sprs-ldl/src/lib.rs:502-593 (up-looking numeric with
+same-pattern ``update`` refactorization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..formats.util import INDEX_DTYPE
+
+
+def _window_scatter_add(arr, starts, updates):
+    """arr[starts[i] : starts[i]+L] += updates[i] for every lane i.
+
+    ``arr`` (P,), ``starts`` (B,) int, ``updates`` (B, L).  Windows may
+    overlap (adds commute).  Starts must be in bounds: callers
+    guarantee starts+L <= len(arr).
+    """
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return lax.scatter_add(
+        arr,
+        starts[:, None].astype(INDEX_DTYPE),
+        updates.astype(arr.dtype),
+        dn,
+        indices_are_sorted=False,
+        unique_indices=False,
+        mode=lax.GatherScatterMode.CLIP,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RoundSchedule:
+    """Host-built batched round schedule for a ``SuperPlan``/``MfPlan``.
+
+    Registered as a pytree for the same reason the plans are: the
+    per-round index arrays must ride through jit boundaries as device
+    buffers, not HLO constants.
+    """
+
+    R: int  # rounds
+    Bu: int  # update lanes per round
+    Bf: int  # factor lanes per round
+    # updates: supernode ids (sentinel S) + row index into plan.t_rmap
+    upd_src: np.ndarray  # (R, Bu)
+    upd_dst: np.ndarray  # (R, Bu)
+    upd_tix: np.ndarray  # (R, Bu) row of plan.t_rmap (sentinel row = all-MR)
+    upd_cnt: np.ndarray  # (R,)
+    # factors: supernode ids (sentinel S)
+    fac_s: np.ndarray  # (R, Bf)
+    fac_cnt: np.ndarray  # (R,)
+    # aggregates (MfPlan only): per bucket, slot ids (sentinel -1)
+    agg_slots: tuple  # per bucket (R, Ba_b)
+    agg_cnt: tuple  # per bucket (R,)
+
+    @property
+    def n_rounds(self) -> int:
+        return self.R
+
+    def tree_flatten(self):
+        leaves = (
+            self.upd_src,
+            self.upd_dst,
+            self.upd_tix,
+            self.upd_cnt,
+            self.fac_s,
+            self.fac_cnt,
+            self.agg_slots,
+            self.agg_cnt,
+        )
+        return leaves, (self.R, self.Bu, self.Bf)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        R, Bu, Bf = aux
+        return cls(R, Bu, Bf, *leaves)
+
+
+class _Packer:
+    """First-fit capacity packer: ``place(e)`` returns the first round
+    >= e with a free lane.  Backfilling matters: assigning
+    ``max(cur_round, e)`` instead inflates dependents' earliest rounds
+    transitively and collapses occupancy to a few percent (measured
+    R=6202 vs the true ~hundreds at 65k rows).  ``jump[r]`` is a
+    union-find-style pointer to the first possibly-free round >= r
+    (path-halved on traversal), so placement is near-O(1) amortized."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.count: list = []
+        self.jump: list = []
+
+    def place(self, earliest: int) -> int:
+        count, jump, cap = self.count, self.jump, self.cap
+        if earliest >= len(count):
+            count.extend(0 for _ in range(earliest + 1 - len(count)))
+            jump.extend(range(len(jump), earliest + 1))
+        r = earliest
+        while True:
+            nxt = jump[r]
+            if nxt == r:
+                if count[r] < cap:
+                    break
+                # full: extend and link past it
+                if r + 1 >= len(count):
+                    count.append(0)
+                    jump.append(r + 1)
+                jump[r] = r + 1
+                r = r + 1
+            else:
+                # path halving
+                if nxt < len(jump):
+                    jump[r] = jump[nxt]
+                r = nxt
+                if r >= len(count):
+                    count.extend(0 for _ in range(r + 1 - len(count)))
+                    jump.extend(range(len(jump), r + 1))
+        count[r] += 1
+        if count[r] >= cap:
+            if r + 1 >= len(count):
+                count.append(0)
+                jump.append(r + 1)
+            jump[r] = r + 1
+        return r
+
+    @property
+    def max_round(self) -> int:
+        for r in range(len(self.count) - 1, -1, -1):
+            if self.count[r]:
+                return r
+        return 0
+
+
+def _table_owners(table: np.ndarray, off_bounds: np.ndarray, sent: int):
+    """Per-slot unique owner supernodes of a (F_b, RFb, X) position
+    table: returns (slot_ptr, owners_flat) CSR-style ragged lists."""
+    nslot = table.shape[0]
+    pos = table.reshape(nslot, -1).astype(np.int64)
+    S = off_bounds.shape[0] - 1
+    own = np.searchsorted(off_bounds, pos.ravel(), side="right") - 1
+    own = own.reshape(nslot, -1)
+    valid = pos != sent
+    slot_id = np.broadcast_to(
+        np.arange(nslot, dtype=np.int64)[:, None], pos.shape
+    )
+    key = np.unique(slot_id[valid] * np.int64(S + 1) + own[valid])
+    slots = key // (S + 1)
+    owners = key % (S + 1)
+    ptr = np.zeros(nslot + 1, dtype=np.int64)
+    np.add.at(ptr, slots + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    return ptr, owners
+
+
+def build_round_schedule(
+    plan, *, bu: int = 64, bf: int = 64, ba: int = 8
+) -> RoundSchedule:
+    """Pack a plan's task stream into batched rounds (host-side).
+
+    Works for both ``SuperPlan`` (types 0/1) and ``MfPlan`` (adds type
+    2 aggregates).  The stream order is already topological, so one
+    forward pass assigns rounds by longest path + capacity.
+    """
+    t_type = np.asarray(plan.t_type)
+    t_src = np.asarray(plan.t_src, dtype=np.int64)
+    t_dst = np.asarray(plan.t_dst, dtype=np.int64)
+    T = t_type.shape[0]
+    S = plan.S
+    P = plan.P
+    bmaps = getattr(plan, "bmaps", ())
+    nb = len(bmaps)
+    off_bounds = np.concatenate(
+        [np.asarray(plan.off, dtype=np.int64), [np.int64(P)]]
+    )
+
+    # per-(bucket, slot) member/target supernode lists for aggregates
+    mem = [
+        _table_owners(np.asarray(b), off_bounds, P) for b in bmaps
+    ]
+    tgt = [
+        _table_owners(np.asarray(a), off_bounds, P)
+        for a in getattr(plan, "aggdsts", ())
+    ]
+
+    fac_round = np.full(S, -1, dtype=np.int64)
+    last_write = np.zeros(S, dtype=np.int64)
+    pk_u = _Packer(bu)
+    pk_f = _Packer(bf)
+    pk_a = [_Packer(ba) for _ in range(nb)]
+
+    # the all-MR sentinel rmap row: any factor task's row (never filled)
+    fac_rows = np.nonzero(t_type == 1)[0]
+    sent_tix = int(fac_rows[0]) if fac_rows.size else 0
+
+    u_r, u_src, u_dst, u_tix = [], [], [], []
+    f_r, f_s = [], []
+    a_r = [[] for _ in range(nb)]
+    a_slot = [[] for _ in range(nb)]
+
+    for i in range(T):
+        tt = int(t_type[i])
+        if tt == 0:
+            src = int(t_src[i])
+            dst = int(t_dst[i])
+            r = pk_u.place(int(fac_round[src]) + 1)
+            if r > last_write[dst]:
+                last_write[dst] = r
+            u_r.append(r)
+            u_src.append(src)
+            u_dst.append(dst)
+            u_tix.append(i)
+        elif tt == 1:
+            s = int(t_src[i])
+            r = pk_f.place(int(last_write[s]))
+            fac_round[s] = r
+            f_r.append(r)
+            f_s.append(s)
+        else:
+            bi = int(t_src[i])
+            slot = int(t_dst[i])
+            mptr, mown = mem[bi]
+            members = mown[mptr[slot] : mptr[slot + 1]]
+            e = 1 + (int(fac_round[members].max()) if members.size else 0)
+            r = pk_a[bi].place(e)
+            tptr, town = tgt[bi]
+            targets = town[tptr[slot] : tptr[slot + 1]]
+            if targets.size:
+                np.maximum.at(last_write, targets, r)
+            a_r[bi].append(r)
+            a_slot[bi].append(slot)
+
+    R = 1 + max(
+        [max(u_r) if u_r else 0, max(f_r) if f_r else 0]
+        + [max(rr) for rr in a_r if rr]
+    )
+
+    # updates
+    upd_src = np.full((R, bu), S, dtype=np.int64)
+    upd_dst = np.full((R, bu), S, dtype=np.int64)
+    upd_tix = np.full((R, bu), sent_tix, dtype=np.int64)
+    upd_cnt = np.zeros(R, dtype=np.int32)
+    for r, s, d, ti in zip(u_r, u_src, u_dst, u_tix):
+        k = upd_cnt[r]
+        upd_src[r, k] = s
+        upd_dst[r, k] = d
+        upd_tix[r, k] = ti
+        upd_cnt[r] = k + 1
+    # factors
+    fac_s = np.full((R, bf), S, dtype=np.int64)
+    fac_cnt = np.zeros(R, dtype=np.int32)
+    for r, s in zip(f_r, f_s):
+        k = fac_cnt[r]
+        fac_s[r, k] = s
+        fac_cnt[r] = k + 1
+    # aggregates
+    agg_slots = []
+    agg_cnt = []
+    for bi in range(nb):
+        sl = np.full((R, ba), -1, dtype=np.int64)
+        cn = np.zeros(R, dtype=np.int32)
+        for r, s in zip(a_r[bi], a_slot[bi]):
+            k = cn[r]
+            sl[r, k] = s
+            cn[r] = k + 1
+        agg_slots.append(sl.astype(np.int32))
+        agg_cnt.append(cn)
+
+    return RoundSchedule(
+        R=R,
+        Bu=bu,
+        Bf=bf,
+        upd_src=upd_src.astype(np.int32),
+        upd_dst=upd_dst.astype(np.int32),
+        upd_tix=upd_tix.astype(np.int32),
+        upd_cnt=upd_cnt,
+        fac_s=fac_s.astype(np.int32),
+        fac_cnt=fac_cnt,
+        agg_slots=tuple(agg_slots),
+        agg_cnt=tuple(agg_cnt),
+    )
+
+
+def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
+    """Jittable level-batched numeric: same ``(l_data, d)`` CSC-slot
+    contract as ``numeric_supernodal``/``numeric_multifrontal`` (NaN
+    poisoning on singular inputs — XLA cannot raise)."""
+    n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
+    MRW = MR * W
+    dtype = data.dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(dtype, jnp.float32)
+        data = data.astype(dtype)
+    bmaps = [
+        jnp.asarray(b, dtype=INDEX_DTYPE)
+        for b in getattr(plan, "bmaps", ())
+    ]
+    aggdsts = [
+        jnp.asarray(a, dtype=INDEX_DTYPE)
+        for a in getattr(plan, "aggdsts", ())
+    ]
+    colstarts = [
+        jnp.asarray(c, dtype=INDEX_DTYPE)
+        for c in getattr(plan, "colstarts", ())
+    ]
+    nb = len(bmaps)
+    CF = getattr(plan, "CF", 0)
+
+    # sentinel-extended geometry: supernode S reads/writes the
+    # zero-scratch window [P, P+MRW) with exact-zero deltas
+    off_e = jnp.concatenate(
+        [
+            jnp.asarray(plan.off, INDEX_DTYPE),
+            jnp.asarray([P], INDEX_DTYPE),
+        ]
+    )
+    c0_e = jnp.concatenate(
+        [jnp.asarray(plan.c0, INDEX_DTYPE), jnp.asarray([n], INDEX_DTYPE)]
+    )
+    w_e = jnp.concatenate(
+        [jnp.asarray(plan.w, INDEX_DTYPE), jnp.asarray([0], INDEX_DTYPE)]
+    )
+    rows_e = jnp.concatenate(
+        [jnp.asarray(plan.rows, INDEX_DTYPE), jnp.asarray([0], INDEX_DTYPE)]
+    )
+    t_rmap = jnp.asarray(plan.t_rmap, dtype=INDEX_DTYPE)
+
+    # layout: [0, P) panels | [P, P+MRW) zero-scratch | [P+MRW] dump
+    DUMP = P + MRW
+    Lp0 = (
+        jnp.zeros((P + MRW + 1,), dtype)
+        .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
+        .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
+    )
+    dext0 = jnp.zeros((n + max(W, CF),), dtype)
+
+    colsW = jnp.arange(W, dtype=INDEX_DTYPE)
+    rowsMR = jnp.arange(MR, dtype=INDEX_DTYPE)
+    PB = MR - W
+
+    def _slice_panels(Lp, offs):
+        """(B,) window starts -> (B, MR, W) panels (one gather of
+        contiguous MR*W windows)."""
+        return jax.vmap(
+            lambda o: lax.dynamic_slice(Lp, (o,), (MRW,))
+        )(offs).reshape(-1, MR, W)
+
+    # ---- batched pair update -------------------------------------------
+    def _upd_phase(Lp, dext, src, dst, tix):
+        Pd = _slice_panels(Lp, off_e[src])  # (Bu, MR, W)
+        Pdpad = jnp.concatenate(
+            [Pd, jnp.zeros((Pd.shape[0], 1, W), dtype)], axis=1
+        )
+        Dd = jax.vmap(lambda c: lax.dynamic_slice(dext, (c,), (W,)))(
+            c0_e[src]
+        )
+        Dd = jnp.where(colsW[None, :] < w_e[src][:, None], Dd, 0)
+        rmap = t_rmap[tix]  # (Bu, MR)
+        B = jnp.take_along_axis(Pdpad, rmap[:, :, None], axis=1)
+        colmap = jnp.where(
+            colsW[None, :] < w_e[dst][:, None], rmap[:, :W], MR
+        )
+        G = jnp.take_along_axis(Pdpad, colmap[:, :, None], axis=1)
+        G = G * Dd[:, None, :]  # (Bu, W, W)
+        U = jnp.einsum("bik,bjk->bij", B, G)  # (Bu, MR, W)
+        return (
+            _window_scatter_add(Lp, off_e[dst], -U.reshape(-1, MRW)),
+            dext,
+        )
+
+    # ---- batched front aggregate (per bucket) ---------------------------
+    def _make_agg_phase(bi):
+        bm_t, ad_t, cs_t = bmaps[bi], aggdsts[bi], colstarts[bi]
+        RFb = bm_t.shape[1]
+
+        def phase(Lp, dext, slots):
+            live = slots >= 0
+            sl = jnp.maximum(slots, 0)
+            bm = bm_t[sl]  # (Ba, RFb, CF)
+            # table sentinel is P == zero-scratch start: reads are
+            # structural zeros by construction (nothing nonzero is ever
+            # written there)
+            B = Lp[bm]
+            Dv = jax.vmap(
+                lambda c: lax.dynamic_slice(dext, (c,), (CF,))
+            )(cs_t[sl])
+            U = jnp.einsum("bik,bjk->bij", B * Dv[:, None, :], B)
+            U = jnp.where(live[:, None, None], U, 0)
+            ad = ad_t[sl]
+            ad = jnp.where(ad == P, DUMP, ad)  # write sentinel -> dump
+            Lp = Lp.at[ad.reshape(-1)].add(
+                -U.reshape(-1), mode="drop"
+            )
+            return Lp, dext
+
+        return phase
+
+    agg_phases = [_make_agg_phase(bi) for bi in range(nb)]
+
+    # ---- batched factor --------------------------------------------------
+    def _fac_phase(Lp, dext, s):
+        panel = _slice_panels(Lp, off_e[s])  # (Bf, MR, W)
+        ws = w_e[s]  # (Bf,)
+        rs = rows_e[s]
+        live_col = colsW[None, :] < ws[:, None]  # (Bf, W)
+        top = jnp.where(live_col[:, None, :], panel[:, :W, :], 0)
+        diag = jnp.einsum("bii->bi", top)
+        top = top.at[:, colsW, colsW].set(jnp.where(live_col, diag, 1))
+
+        def step(j, carry):
+            M, dv = carry  # (Bf, W, W), (Bf, W)
+            colv = M[:, :, j]  # (Bf, W)
+            dj = colv[:, j]  # (Bf,)
+            lcol = jnp.where(colsW[None, :] > j, colv / dj[:, None], 0)
+            lcol = lcol.at[:, j].set(1)
+            rowv = jnp.where(
+                (colsW[None, :] > j) & live_col, colv, 0
+            )
+            M = M - lcol[:, :, None] * rowv[:, None, :]
+            M = M.at[:, :, j].set(
+                jnp.where(colsW[None, :] >= j, lcol, 0)
+            )
+            dv = dv.at[:, j].set(dj)
+            return M, dv
+
+        nB = panel.shape[0]
+        top, dvec = lax.fori_loop(
+            0, W, step, (top, jnp.ones((nB, W), dtype))
+        )
+        if PB:
+            bottom = panel[:, W:, :]
+            xt = lax.linalg.triangular_solve(
+                top,
+                bottom,
+                left_side=False,
+                lower=True,
+                transpose_a=True,
+                unit_diagonal=True,
+            )
+            bottom = xt / dvec[:, None, :]
+            full = jnp.concatenate([top, bottom], axis=1)
+        else:
+            full = top
+        vals = jnp.where(
+            rowsMR[None, :, None] < rs[:, None, None],
+            jnp.where(live_col[:, None, :], full, 0),
+            panel,
+        )
+        delta = vals - panel  # exactly 0 on overhang rows/masked cols
+        Lp = _window_scatter_add(Lp, off_e[s], delta.reshape(-1, MRW))
+        dcontrib = jnp.where(live_col, dvec, 0)
+        dext = _window_scatter_add(dext, c0_e[s], dcontrib)
+        return Lp, dext
+
+    def body(carry, xs):
+        Lp, dext = carry
+        (u_src, u_dst, u_tix, u_cnt, f_s, f_cnt), aggs = xs
+
+        Lp, dext = lax.cond(
+            u_cnt > 0,
+            lambda L, de: _upd_phase(L, de, u_src, u_dst, u_tix),
+            lambda L, de: (L, de),
+            Lp,
+            dext,
+        )
+        for bi in range(nb):
+            slots, cnt = aggs[bi]
+            Lp, dext = lax.cond(
+                cnt > 0,
+                lambda L, de, sl=slots, b=bi: agg_phases[b](L, de, sl),
+                lambda L, de, sl=slots, b=bi: (L, de),
+                Lp,
+                dext,
+            )
+        Lp, dext = lax.cond(
+            f_cnt > 0,
+            lambda L, de: _fac_phase(L, de, f_s),
+            lambda L, de: (L, de),
+            Lp,
+            dext,
+        )
+        return (Lp, dext), None
+
+    xs_main = (
+        jnp.asarray(sched.upd_src, INDEX_DTYPE),
+        jnp.asarray(sched.upd_dst, INDEX_DTYPE),
+        jnp.asarray(sched.upd_tix, INDEX_DTYPE),
+        jnp.asarray(sched.upd_cnt),
+        jnp.asarray(sched.fac_s, INDEX_DTYPE),
+        jnp.asarray(sched.fac_cnt),
+    )
+    xs_agg = tuple(
+        (jnp.asarray(sched.agg_slots[bi], INDEX_DTYPE),
+         jnp.asarray(sched.agg_cnt[bi]))
+        for bi in range(nb)
+    )
+    (Lp, dext), _ = lax.scan(body, (Lp0, dext0), (xs_main, xs_agg))
+    lx = Lp[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
+    return lx, dext[:n]

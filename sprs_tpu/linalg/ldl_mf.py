@@ -235,12 +235,15 @@ def build_mf_plan(
     panel_limit: int = 1 << 28,
     map_limit: int = 1 << 27,
     agg_limit: int = 1 << 28,
+    align: str = "subtree",
 ) -> MfPlan:
     """Build the multifrontal-lite schedule from an ``LdlSymbolic``.
 
     ``agg_limit`` bounds the combined (F, RF, CF) + (F, RF, RF)
     aggregation tables (elements); ``map_limit`` bounds the intra-front
-    (T, MR) pair table as in ``build_super_plan``.
+    (T, MR) pair table as in ``build_super_plan``; ``align='subtree'``
+    cuts supernodes along complete etree subtrees (short batched
+    critical path — see ``supernodes.amalgamate_subtree``).
     """
     pre = _build_prelude(
         sym,
@@ -248,6 +251,7 @@ def build_mf_plan(
         max_zeros=max_zeros,
         rel_zeros=rel_zeros,
         panel_limit=panel_limit,
+        align=align,
     )
     n, S, W, MR, P = pre.n, pre.S, pre.W, pre.MR, pre.P
     of, c0, c1, w = pre.of, pre.c0, pre.c1, pre.w

@@ -46,7 +46,7 @@ from jax import lax
 
 from ..errors import LinalgError
 from ..formats.util import INDEX_DTYPE
-from .supernodes import amalgamate_union
+from .supernodes import amalgamate_subtree, amalgamate_union
 
 
 class SupernodalPlanError(LinalgError):
@@ -162,6 +162,7 @@ def _build_prelude(
     max_zeros: int,
     rel_zeros: float,
     panel_limit: int,
+    align: str = "subtree",
 ) -> _Prelude:
     n = sym.n
     if n == 0:
@@ -173,8 +174,14 @@ def _build_prelude(
     # contiguous partition is exact, so bushy (AMD+postorder) etrees
     # merge into MXU-sized panels too — the chain-rule variant left
     # them at width ~1-2.  below structure comes back as the union
-    # lists (ascending per supernode).
-    sn, below_ptr, below_flat = amalgamate_union(
+    # lists (ascending per supernode).  align='subtree' cuts along
+    # complete etree subtrees instead — required by the level-batched
+    # numeric, whose critical path the union merges otherwise weld
+    # into a chain (see supernodes.amalgamate_subtree).
+    amalgamate_fn = (
+        amalgamate_subtree if align == "subtree" else amalgamate_union
+    )
+    sn, below_ptr, below_flat = amalgamate_fn(
         lp,
         li,
         np.asarray(sym.parent),
@@ -340,6 +347,7 @@ def build_super_plan(
     rel_zeros: float = 0.65,
     panel_limit: int = 1 << 28,
     map_limit: int = 1 << 27,
+    align: str = "subtree",
 ) -> SuperPlan:
     """Build the supernodal schedule from an ``LdlSymbolic``.
 
@@ -347,6 +355,8 @@ def build_super_plan(
     must stay < 2^29 so int32 position arithmetic (with the OOB
     sentinel P) cannot overflow.  ``map_limit`` bounds the (T, MR)
     row-map table.  Exceeding either raises ``SupernodalPlanError``.
+    ``align='subtree'`` cuts supernodes along complete etree subtrees
+    (short critical path for the level-batched numeric).
     """
     pre = _build_prelude(
         sym,
@@ -354,6 +364,7 @@ def build_super_plan(
         max_zeros=max_zeros,
         rel_zeros=rel_zeros,
         panel_limit=panel_limit,
+        align=align,
     )
     n, S, W, MR, P = pre.n, pre.S, pre.W, pre.MR, pre.P
     pair_d, pair_t = pre.pair_d, pre.pair_t

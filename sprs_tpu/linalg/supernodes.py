@@ -265,6 +265,150 @@ def amalgamate_union(
     return Supernodes(ptr=ptr_arr, of=of), below_ptr, below_flat
 
 
+def amalgamate_subtree(
+    l_indptr,
+    l_indices,
+    parent: np.ndarray,
+    colcount: np.ndarray,
+    *,
+    max_width: int = 128,
+    max_zeros: int = 32,
+    rel_zeros: float = 0.65,
+):
+    """Subtree-aligned amalgamation — the batched-schedule variant.
+
+    :func:`amalgamate_union` merges ANY adjacent blocks under the
+    zeros budget; exact, but merging across sibling-subtree boundaries
+    welds independent branches into one dependency chain: at the 256²
+    ND-ordered Laplacian, loose budgets collapse the whole order into
+    width-W chunks where EVERY block updates the next — the batched
+    critical path equals the supernode count (measured R=514 ≈ S=520).
+
+    Here the partition follows the etree instead (same cut rule as
+    ``ldl_mf._partition_fronts``, applied at column level):
+
+    * every maximal COMPLETE subtree whose width and padding fit the
+      budget becomes one supernode — its below structure is exactly
+      ``below(root)`` (the multifrontal containment property), so it
+      has NO edge to the adjacent block and leaf subtrees schedule in
+      parallel;
+    * leftover columns (ancestors of over-budget subtrees — separator
+      paths under nested dissection) merge greedily within contiguous
+      runs under the union budget, like :func:`amalgamate_union`.
+
+    Same return contract as :func:`amalgamate_union`.
+    """
+    colcount = np.asarray(colcount)
+    parent = np.asarray(parent)
+    n = colcount.shape[0]
+    l_indptr = np.asarray(l_indptr)
+    l_indices = np.asarray(l_indices)
+    if n == 0:
+        return (
+            Supernodes(
+                ptr=np.zeros(1, dtype=np.int64),
+                of=np.zeros(0, dtype=np.int64),
+            ),
+            np.zeros(1, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+    # postorder ⇒ subtree of j is the contiguous range [dmin[j], j]
+    dmin = np.arange(n, dtype=np.int64)
+    for j in range(n):
+        p = parent[j]
+        if p >= 0 and dmin[j] < dmin[p]:
+            dmin[p] = dmin[j]
+    size = np.arange(n, dtype=np.int64) - dmin + 1
+    # complete-subtree padding: the merged panel is a w-wide trapezoid
+    # over below(root) = struct(root) ∩ [root+1, ∞) — every member's
+    # beyond-block rows ride the root's structure (path containment)
+    below_cnt = colcount - 1
+    ccum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=ccum[1:])
+    w = size
+    ent = w * (w + 1) // 2 + w * below_cnt
+    true_ent = ccum[np.arange(1, n + 1)] - ccum[dmin]
+    zeros = ent - true_ent
+    fits = (w <= max_width) & (
+        (zeros <= max_zeros) | (zeros <= rel_zeros * np.maximum(ent, 1))
+    )
+    pfit = np.ones(n, dtype=bool)
+    okp = parent >= 0
+    pfit[okp] = ~fits[parent[okp]]
+    is_root = fits & pfit  # maximal fitting subtrees
+    starts = {int(dmin[r]): int(r) + 1 for r in np.nonzero(is_root)[0]}
+
+    ptr = [0]
+    kinds = []  # per block: subtree root (>=0) or -1 for leftover
+    pos = 0
+    while pos < n:
+        if pos in starts:
+            end = starts[pos]
+            if ptr[-1] != pos:
+                # flush the pending leftover run
+                ptr.append(pos)
+                kinds.append(-1)
+            ptr.append(end)
+            kinds.append(end - 1)
+            pos = end
+        else:
+            pos += 1
+    if ptr[-1] != n:
+        ptr.append(n)
+        kinds.append(-1)
+
+    # split + greedy-merge the leftover runs under the union budget
+    out_ptr = [0]
+    out_rows = []
+    for b in range(len(kinds)):
+        c0, c1 = ptr[b], ptr[b + 1]
+        if kinds[b] >= 0:
+            r = kinds[b]
+            rows = l_indices[l_indptr[r] + 1 : l_indptr[r + 1]]
+            out_ptr.append(c1)
+            out_rows.append(np.asarray(rows, dtype=np.int64))
+            continue
+        cur0 = c0
+        cur_rows = None
+        cur_true = 0
+        for c in range(c0, c1):
+            crow = l_indices[l_indptr[c] + 1 : l_indptr[c + 1]].astype(
+                np.int64
+            )
+            if cur_rows is None:
+                cur0, cur_rows, cur_true = c, crow, int(colcount[c])
+                continue
+            wn = c + 1 - cur0
+            if wn <= max_width:
+                hi = cur_rows[cur_rows >= c + 1]
+                rows_new = np.union1d(hi, crow[crow >= c + 1])
+                tn = cur_true + int(colcount[c])
+                en = wn * (wn + 1) // 2 + wn * rows_new.size
+                zr = en - tn
+                if zr <= max_zeros or zr <= rel_zeros * en:
+                    cur_rows, cur_true = rows_new, tn
+                    continue
+            out_ptr.append(c)
+            out_rows.append(cur_rows[cur_rows >= c])
+            cur0, cur_rows, cur_true = c, crow, int(colcount[c])
+        if cur_rows is not None:
+            out_ptr.append(c1)
+            out_rows.append(cur_rows[cur_rows >= c1])
+
+    ptr_arr = np.asarray(out_ptr, dtype=np.int64)
+    of = np.zeros(n, dtype=np.int64)
+    of[ptr_arr[1:-1]] = 1
+    of = np.cumsum(of)
+    below_ptr = np.zeros(len(out_rows) + 1, dtype=np.int64)
+    np.cumsum([r.size for r in out_rows], out=below_ptr[1:])
+    below_flat = (
+        np.concatenate(out_rows)
+        if out_rows
+        else np.zeros(0, dtype=np.int64)
+    ).astype(np.int64)
+    return Supernodes(ptr=ptr_arr, of=of), below_ptr, below_flat
+
+
 def supernode_structure(l_indptr, l_indices, sn: Supernodes):
     """Padded per-supernode row structure from L's (CSC) pattern.
 

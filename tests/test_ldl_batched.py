@@ -1,0 +1,126 @@
+"""Level-batched LDLᵀ numeric: parity against the exact host numeric
+for BOTH plan types (SuperPlan, MfPlan), across orderings, front
+budgets, and round widths (width 1 degenerates to the sequential
+schedule; tiny widths force maximal round splitting).
+
+Same relative-closeness discipline as tests/test_ldl_mf.py — batched
+rounds reorder commutative float adds; bit identity is not the
+contract (golden parity lives in tests/test_ldl_golden.py).
+"""
+
+import numpy as np
+import pytest
+
+import sprs_tpu as st
+from sprs_tpu.linalg import Ldl
+from sprs_tpu.linalg.ldl_batched import build_round_schedule, numeric_batched
+from sprs_tpu.linalg.ldl_mf import build_mf_plan
+from sprs_tpu.linalg.ldl_super import panels_from_csc, solve_supernodal
+from sprs_tpu.utils.special import dirichlet_laplacian
+
+
+def _rand_spd(n, density, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n)) * (rng.random((n, n)) < density)
+    return a @ a.T + n * np.eye(n)
+
+
+def _host_and_plan(mat, fill="none", kind="super", **plan_kwargs):
+    builder = Ldl().fill_in_reduction(fill).check_symmetry(False)
+    sym = builder.symbolic(mat)
+    host = sym.factor(mat, backend="host")
+    if kind == "super":
+        plan = sym.super_plan(**plan_kwargs)
+    else:
+        plan = build_mf_plan(sym, **plan_kwargs)
+    return sym, host, plan
+
+
+def _assert_close(host, lx, d, rtol=1e-10):
+    l_h = np.asarray(host.l_data)
+    scale = max(np.abs(l_h).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(lx), l_h, rtol=rtol, atol=rtol * scale)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(host.d), rtol=rtol)
+
+
+class TestBatchedParity:
+    @pytest.mark.parametrize("fill", ["none", "rcm", "camd"])
+    @pytest.mark.parametrize("kind", ["super", "mf"])
+    def test_laplacian(self, fill, kind):
+        mat = dirichlet_laplacian((12, 12))
+        sym, host, plan = _host_and_plan(mat, fill, kind)
+        sched = build_round_schedule(plan)
+        assert sched.R < plan.n_tasks  # batching actually batched
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
+
+    @pytest.mark.parametrize("bu,bf,ba", [(1, 1, 1), (3, 2, 2), (64, 64, 8)])
+    def test_round_width_sweep(self, bu, bf, ba):
+        mat = dirichlet_laplacian((9, 13))
+        sym, host, plan = _host_and_plan(
+            mat, "camd", "mf", max_front_cols=24
+        )
+        sched = build_round_schedule(plan, bu=bu, bf=bf, ba=ba)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
+
+    @pytest.mark.parametrize("max_cols", [8, 24, 10_000])
+    def test_mf_front_budget_sweep(self, max_cols):
+        mat = dirichlet_laplacian((9, 13))
+        sym, host, plan = _host_and_plan(
+            mat, "camd", "mf", max_front_cols=max_cols, max_front_rows=10_000
+        )
+        sched = build_round_schedule(plan, bu=8, bf=8, ba=4)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
+
+    def test_random_spd_super(self):
+        spd = _rand_spd(60, 0.08, 3)
+        mat = st.from_dense(spd)
+        sym, host, plan = _host_and_plan(mat, "camd", "super")
+        sched = build_round_schedule(plan, bu=4, bf=4)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
+
+    def test_refactorization_same_schedule(self):
+        # the schedule is static: rescaled data reuses it unchanged
+        mat = dirichlet_laplacian((7, 7))
+        builder = Ldl().fill_in_reduction("none").check_symmetry(False)
+        sym = builder.symbolic(mat)
+        plan = build_mf_plan(sym, max_front_cols=12)
+        sched = build_round_schedule(plan, bu=4, bf=4, ba=2)
+        a = mat.to_csr()
+        scaled = a.data * 3.0
+        lx, d = numeric_batched(plan, sched, scaled)
+        host = sym.factor(
+            st.CsMat(a.indptr, a.indices, scaled, a.shape, a.storage),
+            backend="host",
+        )
+        _assert_close(host, lx, d)
+
+    def test_solve_on_batched_factor(self):
+        mat = dirichlet_laplacian((8, 11))
+        sym, host, plan = _host_and_plan(mat, "camd", "mf", max_front_cols=16)
+        sched = build_round_schedule(plan, bu=8, bf=8, ba=4)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        n = sym.n
+        rng = np.random.default_rng(0)
+        b = rng.normal(size=n)
+        panels = panels_from_csc(plan, lx)
+        perm = np.asarray(sym.perm.perm)
+        x = np.asarray(
+            solve_supernodal(plan, panels, d, b[perm])
+        )[np.argsort(perm)]
+        dense = np.asarray(mat.to_dense())
+        np.testing.assert_allclose(x, np.linalg.solve(dense, b), rtol=1e-8)
+
+    def test_jit_with_plan_and_schedule_as_args(self):
+        # plans and schedules are pytrees: pass them THROUGH jit
+        import jax
+
+        mat = dirichlet_laplacian((10, 10))
+        sym, host, plan = _host_and_plan(mat, "camd", "mf")
+        sched = build_round_schedule(plan, bu=8, bf=8, ba=4)
+        fn = jax.jit(numeric_batched)
+        lx, d = fn(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
