@@ -60,12 +60,27 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scan-iters", type=int, default=2)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
-    ap.add_argument("--fill", default="rcm", choices=["rcm", "camd", "none"])
+    ap.add_argument(
+        "--fill", default="rcm", choices=["rcm", "camd", "nd", "none"]
+    )
+    ap.add_argument("--rel-zeros", type=float, default=0.65)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--skip-seq",
+        action="store_true",
+        help="skip the sequential supernodal scan variant (batched only)",
+    )
     args = ap.parse_args()
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
 
     out = {"backend": jax.default_backend(), "grid": args.grid}
+
+    def dump():
+        # incremental persistence: a SIGKILL mid-battery loses at most
+        # the in-flight measurement (round-2 lost whole stages)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f)
     print(f"# backend={jax.default_backend()}", flush=True)
     h = health_reference()
     out["health_us"] = round(h * 1e6, 1)
@@ -77,8 +92,9 @@ def main():
     out["n"] = n
     out["lnz"] = sym.nnz
     out["t_symbolic_s"] = round(t_sym, 3)
+    dump()
     t0 = time.perf_counter()
-    plan = build_super_plan(sym)
+    plan = build_super_plan(sym, rel_zeros=args.rel_zeros)
     out["t_plan_s"] = round(time.perf_counter() - t0, 3)
     out["snodes"] = plan.S
     out["W"] = plan.W
@@ -97,20 +113,75 @@ def main():
     # constants in the remote compile payload
     import functools
 
-    def super_step(pl, d):
-        lx, dd = numeric_supernodal(pl, d)
+    if not args.skip_seq:
+        def super_step(pl, d):
+            lx, dd = numeric_supernodal(pl, d)
+            return d + 0.0 * dd[0] * lx[0]
+
+        t_sup = chain_time_best(
+            functools.partial(jax.jit(super_step), plan),
+            data,
+            iters=args.iters,
+            rounds=3,
+        )
+        out["supernodal_s"] = t_sup
+        out["supernodal_gflops"] = round(fl / t_sup / 1e9, 2)
+        print(f"supernodal: {t_sup*1e3:.1f} ms/refactor "
+              f"({fl/t_sup/1e9:.1f} useful GFLOP/s)", flush=True)
+        dump()
+
+    # level-batched rounds over the same plans (round-3 numeric)
+    from sprs_tpu.linalg.ldl_batched import (
+        build_round_schedule,
+        numeric_batched,
+    )
+    from sprs_tpu.linalg.ldl_mf import build_mf_plan
+
+    t0 = time.perf_counter()
+    sched = build_round_schedule(plan)
+    out["t_sched_s"] = round(time.perf_counter() - t0, 3)
+    out["rounds"] = sched.R
+    print(f"# batched schedule: R={sched.R} rounds "
+          f"({plan.n_tasks} tasks)", flush=True)
+
+    def batched_step(pl, sc, d):
+        lx, dd = numeric_batched(pl, sc, d)
         return d + 0.0 * dd[0] * lx[0]
 
-    t_sup = chain_time_best(
-        functools.partial(jax.jit(super_step), plan),
+    t_bat = chain_time_best(
+        functools.partial(jax.jit(batched_step), plan, sched),
         data,
         iters=args.iters,
         rounds=3,
     )
-    out["supernodal_s"] = t_sup
-    out["supernodal_gflops"] = round(fl / t_sup / 1e9, 2)
-    print(f"supernodal: {t_sup*1e3:.1f} ms/refactor "
-          f"({fl/t_sup/1e9:.1f} useful GFLOP/s)", flush=True)
+    out["batched_s"] = t_bat
+    out["batched_gflops"] = round(fl / t_bat / 1e9, 2)
+    print(f"batched-super: {t_bat*1e3:.1f} ms/refactor "
+          f"({fl/t_bat/1e9:.1f} useful GFLOP/s)", flush=True)
+    dump()
+
+    try:
+        t0 = time.perf_counter()
+        mfp = build_mf_plan(sym, rel_zeros=args.rel_zeros)
+        msched = build_round_schedule(mfp)
+        out["t_mf_plan_s"] = round(time.perf_counter() - t0, 3)
+        out["mf_tasks"] = mfp.n_tasks
+        out["mf_rounds"] = msched.R
+        t_mf = chain_time_best(
+            functools.partial(jax.jit(batched_step), mfp, msched),
+            data,
+            iters=args.iters,
+            rounds=3,
+        )
+        out["batched_mf_s"] = t_mf
+        out["batched_mf_gflops"] = round(fl / t_mf / 1e9, 2)
+        print(f"batched-mf: {t_mf*1e3:.1f} ms/refactor "
+              f"({fl/t_mf/1e9:.1f} useful GFLOP/s) "
+              f"R={msched.R}", flush=True)
+    except Exception as e:
+        out["batched_mf_s"] = None
+        print(f"batched-mf: failed ({e})", flush=True)
+    dump()
 
     # solve timings: level-scheduled vs supernodal panel solve (chained;
     # inner solves only — the O(n) permutation gathers are identical for
@@ -120,7 +191,10 @@ def main():
     from sprs_tpu.linalg.ldl_super import panels_from_csc, solve_supernodal
     from sprs_tpu.linalg.trisolve import _level_solve_csr
 
-    num = sym.factor(mat, backend="supernodal")
+    from sprs_tpu.linalg.ldl import LdlNumeric
+
+    lx_b, d_b = jax.jit(numeric_batched)(plan, sched, data)
+    num = LdlNumeric(sym, lx_b, d_b)
     b0 = jnp.asarray(
         np.linspace(1.0, 2.0, n).astype(np.float32)
     ).astype(dtype)
@@ -161,6 +235,7 @@ def main():
         except Exception as e:  # level solve may OOM on fill-heavy factors
             out[f"solve_{meth}_s"] = None
             print(f"solve[{meth}]: failed ({e})", flush=True)
+        dump()
 
     # row-scan baseline (optionally smaller grid if the full size is
     # prohibitively slow -- report normalized per-flop time too)
@@ -188,10 +263,11 @@ def main():
     )
     out["scan_s"] = t_scan
     out["scan_gflops"] = round(fl2 / t_scan / 1e9, 3)
-    speedup = (t_scan / fl2) / (t_sup / fl)
+    t_ref = out.get("supernodal_s") or out["batched_s"]
+    speedup = (t_scan / fl2) / (t_ref / fl)
     out["speedup_per_flop"] = round(speedup, 1)
     if sg == args.grid:
-        out["speedup"] = round(t_scan / t_sup, 1)
+        out["speedup"] = round(t_scan / t_ref, 1)
     print(f"row-scan (grid {sg}): {t_scan*1e3:.1f} ms/refactor "
           f"({fl2/t_scan/1e9:.2f} useful GFLOP/s)", flush=True)
     print(f"speedup (per-flop normalized): {speedup:.1f}x", flush=True)

@@ -32,7 +32,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benches", "results_r2")
+OUT = os.path.join(REPO, "benches", "results_r3")
 
 GATE_SRC = r"""
 import time, sys
@@ -113,81 +113,119 @@ def gate(budget_deadline, log):
     return False
 
 
+def import_smoke(log):
+    """Fail fast on environment problems (round-2 burned a hardware
+    window on a PYTHONPATH-induced ModuleNotFoundError): import
+    sprs_tpu + the bench modules on pure CPU in a subprocess with the
+    SAME env the stages get."""
+    src = "import sprs_tpu, sprs_tpu.linalg.ldl_batched; print('IMPORT OK')"
+    env = os.environ.copy()
+    env["PYTHONPATH"] = REPO + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    rc = run(
+        [sys.executable, "-c", src], timeout=180, log_path=log, env=env
+    )
+    return rc == 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-min", type=float, default=150.0)
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument(
+        "--force",
+        nargs="*",
+        default=[],
+        help="re-run these stages even if a previous run completed them "
+        "('all' forces everything)",
+    )
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
     deadline = time.time() + args.budget_min * 60
     gatelog = os.path.join(OUT, "gate.log")
+    summary_path = os.path.join(OUT, "summary.json")
     py = sys.executable
 
     stages = [
         # (name, cmd, timeout_s)
         ("bench", [py, "-u", "bench.py"], 1800),
         (
-            "ldl256",
+            "ldl256_nd",
             [
-                py,
-                "-u",
-                "benches/ldl_bench.py",
-                "--grid",
-                "256",
-                "--scan-grid",
-                "128",
-                "--json",
-                os.path.join(OUT, "ldl_256.json"),
+                py, "-u", "benches/ldl_bench.py",
+                "--grid", "256", "--fill", "nd",
+                "--rel-zeros", "0.85", "--scan-iters", "0",
+                "--json", os.path.join(OUT, "ldl_256_nd.json"),
             ],
             2400,
         ),
         (
             "ldl256_camd",
             [
-                py,
-                "-u",
-                "benches/ldl_bench.py",
-                "--grid",
-                "256",
-                "--fill",
-                "camd",
-                "--scan-iters",
-                "0",
-                "--json",
-                os.path.join(OUT, "ldl_256_camd.json"),
+                py, "-u", "benches/ldl_bench.py",
+                "--grid", "256", "--fill", "camd",
+                "--rel-zeros", "0.85", "--scan-iters", "0",
+                "--json", os.path.join(OUT, "ldl_256_camd.json"),
             ],
             2400,
         ),
-        ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
         (
             "spgemm_sweep",
             [
-                py,
-                "-u",
-                "benches/spgemm_bench.py",
-                "--out",
-                "benches/results_spgemm_tpu_r2.json",
+                py, "-u", "benches/spgemm_bench.py",
+                "--out", "benches/results_spgemm_tpu_r3.json",
             ],
             5400,
         ),
         ("chunked140", [py, "-u", "benches/r2/r2_chunked140.py"], 2400),
         ("spmv_battery", [py, "-u", "benches/r2/r2_spmv_battery.py"], 1800),
+        ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
     ]
 
+    # stage-level resume: reload the previous summary; completed stages
+    # (rc=0) are skipped unless forced
     results = {}
+    if os.path.exists(summary_path):
+        try:
+            results = json.load(open(summary_path))
+        except Exception:
+            results = {}
+
+    def flush_summary():
+        with open(summary_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    if not import_smoke(gatelog):
+        print("IMPORT SMOKE FAILED — aborting before any gate probe")
+        results["_import_smoke"] = "failed"
+        flush_summary()
+        sys.exit(1)
+
     for name, cmd, tmo in stages:
         if name in args.skip:
-            results[name] = "skipped"
+            results.setdefault(name, "skipped")
+            flush_summary()
+            continue
+        if results.get(name) == "rc=0" and not (
+            name in args.force or "all" in args.force
+        ):
+            print(f"== {name}: already completed (resume) — skipping")
             continue
         if time.time() > deadline:
             results[name] = "budget_exhausted"
+            flush_summary()
             continue
         if not gate(deadline, gatelog):
             results[name] = "tunnel_down"
+            flush_summary()
             continue
         log = os.path.join(OUT, f"{name}.log")
         rc = run(cmd, min(tmo, max(deadline - time.time(), 60)), log)
         results[name] = f"rc={rc}"
+        flush_summary()
         if rc != 0:
             # a killed/crashed TPU process can wedge the tunnel for the
             # next large transfer — rest before the next gate probe
@@ -204,8 +242,7 @@ def main():
         if lines:
             with open(os.path.join(OUT, "bench.json"), "w") as f:
                 f.write(lines[-1] + "\n")
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    flush_summary()
     print(json.dumps(results), flush=True)
 
 

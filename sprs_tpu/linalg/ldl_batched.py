@@ -323,15 +323,23 @@ def build_round_schedule(
         agg_slots.append(sl.astype(np.int32))
         agg_cnt.append(cn)
 
+    # trim lane widths to the max actually used: padding lanes cost
+    # real gather/matmul/scatter work every round
+    bu_eff = max(int(upd_cnt.max()) if R else 1, 1)
+    bf_eff = max(int(fac_cnt.max()) if R else 1, 1)
+    agg_slots = [
+        sl[:, : max(int(cn.max()), 1)]
+        for sl, cn in zip(agg_slots, agg_cnt)
+    ]
     return RoundSchedule(
         R=R,
-        Bu=bu,
-        Bf=bf,
-        upd_src=upd_src.astype(np.int32),
-        upd_dst=upd_dst.astype(np.int32),
-        upd_tix=upd_tix.astype(np.int32),
+        Bu=bu_eff,
+        Bf=bf_eff,
+        upd_src=upd_src[:, :bu_eff].astype(np.int32),
+        upd_dst=upd_dst[:, :bu_eff].astype(np.int32),
+        upd_tix=upd_tix[:, :bu_eff].astype(np.int32),
         upd_cnt=upd_cnt,
-        fac_s=fac_s.astype(np.int32),
+        fac_s=fac_s[:, :bf_eff].astype(np.int32),
         fac_cnt=fac_cnt,
         agg_slots=tuple(agg_slots),
         agg_cnt=tuple(agg_cnt),
