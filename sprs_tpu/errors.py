@@ -70,9 +70,25 @@ class CapacityError(SprsError):
     op results so callers can re-run with a larger bound.
     """
 
-    def __init__(self, required: int, cap: int):
+    def __init__(self, required: int, cap: int, message: str = None):
         self.required = required
         self.cap = cap
         super().__init__(
-            f"operation requires capacity {required} but only {cap} provided"
+            message
+            or f"operation requires capacity {required} but only {cap} "
+            "provided"
+        )
+
+    @classmethod
+    def index_limit(cls, what: str, value: int) -> "CapacityError":
+        """A size crossed the i32 index ceiling — the TPU-native analog
+        of SpIndex's 'index type is not large enough' panic
+        (sprs/src/indexing.rs:18-46)."""
+        from .formats.util import MAX_INDEX
+
+        return cls(
+            int(value),
+            MAX_INDEX,
+            f"{what}={int(value)} exceeds the i32 index limit "
+            f"{MAX_INDEX}; i32 positions would wrap silently",
         )

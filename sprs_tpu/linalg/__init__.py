@@ -35,8 +35,11 @@ from .ordering import (
     cuthill_mckee_custom,
     reverse_cuthill_mckee,
 )
+from .nd import nd_order
 from .trisolve import (
+    FlatTriSchedule,
     TriSchedule,
+    build_flat_schedule,
     build_schedule,
     diag_solve,
     lsolve,
@@ -95,7 +98,10 @@ __all__ = [
     "cuthill_mckee",
     "cuthill_mckee_custom",
     "reverse_cuthill_mckee",
+    "nd_order",
+    "FlatTriSchedule",
     "TriSchedule",
+    "build_flat_schedule",
     "build_schedule",
     "diag_solve",
     "lsolve",

@@ -56,6 +56,17 @@ from .trisolve import TriSchedule, build_schedule, _level_solve_csr
 # ---------------------------------------------------------------------------
 
 
+def _check_factor_capacity(lnz: int) -> None:
+    """CSC slots / panel gathers are i32 (csc_gather, rmaps): a factor
+    past the i32 ceiling would wrap silently — fail loudly instead
+    (reference analog: SpIndex panic, sprs/src/indexing.rs:18-46)."""
+    from ..errors import CapacityError
+    from ..formats.util import MAX_INDEX
+
+    if lnz > MAX_INDEX:
+        raise CapacityError.index_limit("factor nnz", lnz)
+
+
 @dataclasses.dataclass(frozen=True)
 class LdlSymbolic:
     """Static factorization plan; reusable across same-pattern matrices."""
@@ -268,6 +279,7 @@ class LdlSymbolic:
                     l_indices[fill[j]] = k
                     fill[j] += 1
         wc = max(int(col_size.max()), 1) if n else 1
+        _check_factor_capacity(lnz)
 
         # --- CSR twin of L (lower, row-major) + value gather ---------------
         cols_of = np.repeat(np.arange(n), col_size)

@@ -285,6 +285,213 @@ def _level_solve_csr(
 
 
 # ---------------------------------------------------------------------------
+# flat blocked level kernel — O(lnz) at any depth
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatTriSchedule:
+    """Entry-stream level schedule: O(lnz + n_levels·E) memory.
+
+    ``_level_solve_csr`` does a (level_width, max_row_nnz) gather per
+    level — at 65k rows of a camd factor that is a 239 GB HLO
+    (BASELINE.md round-2): ``width`` reaches half the rows while
+    ``max_row_nnz`` reaches the trailing dense-block width, and the
+    padded product explodes on exactly the fill-heavy factors that
+    need solving.  Here the OFF-DIAGONAL entries are streamed in
+    (level, row) order and cut into static ``E``-entry blocks that
+    never cross a level boundary; a row wider than a block spans
+    several blocks (its dot-product accumulates in ``acc``), and each
+    block finalizes the rows whose last entry it holds:
+    ``x[r] = (b[r] − acc[r]) / diag[r]``.  Per-block work is E gathers
+    + E scatter-adds + ≤E finalizes — independent of level shape, so
+    the deep-level skew costs rounds, not memory.
+
+    Pattern-only (positions into the matrix's data array), reusable
+    across same-pattern numeric values like :class:`TriSchedule`.
+    """
+
+    n: int
+    lower: bool
+    E: int  # entries per block (static)
+    nblocks: int
+    # per-block entry streams, (nblocks, E); sentinel: row = n
+    e_slot: np.ndarray  # position into mat.data (clamped for sentinel)
+    e_col: np.ndarray  # column of the entry (clamped for sentinel)
+    e_row: np.ndarray  # target row (n for padding)
+    # per-block finalize streams, (nblocks, E); sentinel row = n
+    f_row: np.ndarray
+    f_dslot: np.ndarray  # diag position into mat.data
+
+
+def build_flat_schedule(
+    mat: CsMat, *, lower: bool = True, block_entries: int = 2048
+) -> FlatTriSchedule:
+    """Host symbolic pass for the flat blocked level solve."""
+    _check_square(mat)
+    csr = mat.to_csr()
+    n = csr.shape[0]
+    indptr = np.asarray(csr.indptr).astype(np.int64)
+    nnz = int(indptr[-1])
+    indices = np.asarray(csr.indices)[:nnz].astype(np.int64)
+    from .. import native
+
+    fast = native.tri_levels(indptr, indices, n, lower=lower)
+    if fast is not None:
+        level, n_levels = fast
+    else:
+        level = np.zeros(n, dtype=np.int64)
+        order = range(n) if lower else range(n - 1, -1, -1)
+        for i in order:
+            deps = indices[indptr[i] : indptr[i + 1]]
+            deps = deps[deps < i] if lower else deps[deps > i]
+            if deps.size:
+                level[i] = level[deps].max() + 1
+        n_levels = int(level.max()) + 1 if n else 1
+
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    side = (indices < rows_all) if lower else (indices > rows_all)
+    on_diag = indices == rows_all
+    # diag slot per row (first stored diagonal entry)
+    dslot = np.full(n, nnz, dtype=np.int64)
+    pos_d = np.nonzero(on_diag)[0]
+    # keep the FIRST diag slot per row (reverse so earlier wins)
+    dslot[rows_all[pos_d][::-1]] = pos_d[::-1]
+    if np.any(dslot == nnz):
+        missing = int(np.argmax(dslot == nnz))
+        raise SingularMatrixError(f"zero diagonal at index {missing}")
+
+    # off-diag entries sorted by (level of their row, row)
+    pos_e = np.nonzero(side)[0]
+    erow = rows_all[pos_e]
+    order_e = np.argsort(level[erow] * np.int64(n) + erow, kind="stable")
+    pos_e = pos_e[order_e]
+    erow = erow[order_e]
+    ecol = indices[pos_e]
+    elvl = level[erow]
+
+    E = int(block_entries)
+    # block cuts: every E entries, plus at every level boundary; rows
+    # never straddle a LEVEL boundary so correctness only needs cuts
+    # there — a row may straddle an E-cut (partial sums accumulate).
+    ne = pos_e.shape[0]
+    lvl_starts = np.nonzero(
+        np.concatenate([[True], elvl[1:] != elvl[:-1]])
+    )[0] if ne else np.zeros(0, np.int64)
+    cuts = {0, ne}
+    for s in lvl_starts:
+        cuts.add(int(s))
+    cuts = sorted(cuts)
+    blocks = []  # (estart, eend) half-open entry ranges
+    for a, bnd in zip(cuts[:-1], cuts[1:]):
+        p = a
+        while p < bnd:
+            q = min(p + E, bnd)
+            blocks.append((p, q))
+            p = q
+    # levels with NO off-diag entries still need their rows finalized:
+    # those rows (level-0 or pure-diagonal rows) finalize in block 0 —
+    # their acc is untouched (0), so any block at/after their level
+    # works, and level-sorted rows with no entries are level 0 only
+    # ... except pure-diagonal rows at higher levels cannot exist:
+    # a row's level > 0 requires an off-diag entry.  Safe.
+    if not blocks:
+        blocks = [(0, 0)]
+    nb = len(blocks)
+
+    e_slot = np.full((nb, E), 0, dtype=np.int64)
+    e_col = np.full((nb, E), 0, dtype=np.int64)
+    e_row = np.full((nb, E), n, dtype=np.int64)
+    for bi, (a, bnd) in enumerate(blocks):
+        k = bnd - a
+        e_slot[bi, :k] = pos_e[a:bnd]
+        e_col[bi, :k] = ecol[a:bnd]
+        e_row[bi, :k] = erow[a:bnd]
+
+    # finalize rows at the START of the block AFTER their last entry
+    # (one extra entry-empty tail block): each step finalizes before it
+    # accumulates, so block k's entries read columns finalized in
+    # blocks <= k — a dependency's last entry lives in a strictly
+    # earlier LEVEL block, hence its finalize block is <= k.  Rows with
+    # no off-diagonal entries (level 0) finalize at the start of block
+    # 0, before any entry ever reads them.
+    nb_f = nb + 1
+    fin_block = np.zeros(n, dtype=np.int64)
+    if ne:
+        # last entry position per row in the sorted stream
+        last_of_row = np.full(n, -1, dtype=np.int64)
+        last_of_row[erow] = np.arange(ne, dtype=np.int64)
+        bstart = np.asarray([a for a, _ in blocks], dtype=np.int64)
+        has = last_of_row >= 0
+        fin_block[has] = np.searchsorted(
+            bstart, last_of_row[has], side="right"
+        )  # == block_of_last_entry + 1
+    fcount = np.bincount(fin_block, minlength=nb_f)
+    F = max(int(fcount.max()), 1) if n else 1
+    f_row = np.full((nb_f, F), n, dtype=np.int64)
+    f_dslot = np.full((nb_f, F), max(nnz - 1, 0), dtype=np.int64)
+    order_r = np.argsort(fin_block, kind="stable")
+    fb_sorted = fin_block[order_r]
+    foffs = np.zeros(nb_f + 1, dtype=np.int64)
+    np.cumsum(fcount, out=foffs[1:])
+    rank = np.arange(n, dtype=np.int64) - foffs[fb_sorted]
+    f_row[fb_sorted, rank] = order_r
+    f_dslot[fb_sorted, rank] = dslot[order_r]
+
+    # entry streams get an empty tail block to match
+    pad_e = np.zeros((1, E), dtype=np.int64)
+    e_slot = np.concatenate([e_slot, pad_e])
+    e_col = np.concatenate([e_col, pad_e])
+    e_row = np.concatenate([e_row, np.full((1, E), n, dtype=np.int64)])
+
+    return FlatTriSchedule(
+        n=n,
+        lower=lower,
+        E=E,
+        nblocks=nb_f,
+        e_slot=e_slot.astype(np.int32),
+        e_col=e_col.astype(np.int32),
+        e_row=e_row.astype(np.int32),
+        f_row=f_row.astype(np.int32),
+        f_dslot=f_dslot.astype(np.int32),
+    )
+
+
+def _flat_solve_csr(
+    mat: CsMat, b: jax.Array, sched: FlatTriSchedule
+) -> jax.Array:
+    n = sched.n
+    data = mat.data
+
+    e_slot = jnp.asarray(sched.e_slot, INDEX_DTYPE)
+    e_col = jnp.asarray(sched.e_col, INDEX_DTYPE)
+    e_row = jnp.asarray(sched.e_row, INDEX_DTYPE)
+    f_row = jnp.asarray(sched.f_row, INDEX_DTYPE)
+    f_dslot = jnp.asarray(sched.f_dslot, INDEX_DTYPE)
+
+    def step(carry, xs):
+        x, acc = carry
+        es, ec, er, fr, fd = xs
+        # finalize FIRST: rows scheduled here had their last entry in
+        # an earlier block; this block's entries may read them
+        fr_c = jnp.minimum(fr, n - 1)
+        xf = (b[fr_c] - acc[fr_c]) / data[fd]
+        x = x.at[jnp.where(fr < n, fr, n)].set(xf, mode="drop")
+        live = er < n
+        vals = jnp.where(live, data[es], 0)
+        contrib = vals * x[jnp.minimum(ec, n - 1)]
+        acc = acc.at[er].add(contrib, mode="drop")
+        return (x, acc), None
+
+    x0 = jnp.zeros_like(b)
+    acc0 = jnp.zeros_like(b)
+    (x, _), _ = jax.lax.scan(
+        step, (x0, acc0), (e_slot, e_col, e_row, f_row, f_dslot)
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -300,11 +507,13 @@ def lsolve(
     """Solve L x = b using the lower-triangular part of ``mat``.
 
     Covers lsolve_csr_dense_rhs / lsolve_csc_dense_rhs
-    (trisolve.rs:30-149).  ``method``: "scan", "levels", or "auto"
-    (levels when a schedule is given or the input is concrete).
-    ``window`` statically bounds the scan method's per-row width under
-    jit (without it a traced input costs O(n·cap)); rows wider than the
-    window NaN-poison their component.
+    (trisolve.rs:30-149).  ``method``: "scan", "levels", "flat", or
+    "auto" (a level method when a schedule is given or the input is
+    concrete; "flat" — the O(lnz)-memory blocked stream — once the
+    padded level kernel's (level_width × max_row_nnz) gather would
+    explode).  ``window`` statically bounds the scan method's per-row
+    width under jit (without it a traced input costs O(n·cap)); rows
+    wider than the window NaN-poison their component.
     """
     return _trisolve(
         mat, b, lower=True, method=method, schedule=schedule, window=window
@@ -347,9 +556,21 @@ def _trisolve(mat, b, *, lower, method, schedule, window=None):
 
     if method == "auto":
         if schedule is not None:
-            method = "levels"
+            method = (
+                "flat"
+                if isinstance(schedule, FlatTriSchedule)
+                else "levels"
+            )
         elif is_concrete(mat.indptr):
+            # the padded level kernel's per-level gather is
+            # (level_width × max_row_nnz) — switch to the flat blocked
+            # kernel before that product explodes (239 GB HLO at 65k
+            # rows of a camd factor)
             method = "levels"
+            ip = np.asarray(mat.indptr)
+            w = int(np.diff(ip).max()) if ip.shape[0] > 1 else 1
+            if mat.shape[0] * w > 1 << 24:
+                method = "flat"
         else:
             method = "scan"
 
@@ -359,6 +580,12 @@ def _trisolve(mat, b, *, lower, method, schedule, window=None):
         if schedule.lower != lower:
             raise ValueError("schedule direction mismatch")
         return _level_solve_csr(mat.to_csr(), b, schedule)
+    if method == "flat":
+        if schedule is None or not isinstance(schedule, FlatTriSchedule):
+            schedule = build_flat_schedule(mat, lower=lower)
+        if schedule.lower != lower:
+            raise ValueError("schedule direction mismatch")
+        return _flat_solve_csr(mat.to_csr(), b, schedule)
     if method == "scan":
         if mat.is_csr:
             return _scan_solve_csr(mat, b, lower, window)

@@ -452,6 +452,16 @@ def spgemm(
         prod_cap = max(exact, 1)
         if sort_batches is None and exact >= SORT_BATCH_MIN:
             sort_batches = spgemm_sort_batches(a, b)
+    from ..formats.util import MAX_INDEX
+
+    if prod_cap > MAX_INDEX:
+        # i32 positions index the padded product arrays: a larger cap
+        # would silently wrap (reference analog: SpIndex's "index type
+        # is not large enough" panic, sprs/src/indexing.rs:18-46);
+        # concrete inputs chunk automatically well before this.
+        raise CapacityError.index_limit("prod_cap", prod_cap)
+    if out_cap is not None and out_cap > MAX_INDEX:
+        raise CapacityError.index_limit("out_cap", out_cap)
     rows, cols, vals, total = _expand_products(a, b, prod_cap)
 
     cap0 = out_cap if out_cap is not None else prod_cap
