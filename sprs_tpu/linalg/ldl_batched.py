@@ -463,6 +463,56 @@ def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
     agg_phases = [_make_agg_phase(bi) for bi in range(nb)]
 
     # ---- batched factor --------------------------------------------------
+    # Blocked right-looking LDL on the (B, W, W) top block: the rank-1
+    # formulation rewrites the FULL block W times inside a fori_loop
+    # (~2 GB of HBM traffic per 64-lane round at W=128, measured ~10
+    # ms/round); here pivots advance through NBF-wide strips (cheap
+    # rank-1 mini-steps touch only a (B, W, NBF) strip) and each strip
+    # pushes ONE rank-NBF trailing update — an MXU einsum.  Exact up to
+    # reassociation of the trailing sums (the module contract).
+    NBF = 8
+
+    def _fac_top(top, live_col):
+        nB = top.shape[0]
+        M = top
+        dv = jnp.ones((nB, W), dtype)
+        for kb in range(0, W, NBF):
+            nb = min(NBF, W - kb)
+            strip = M[:, :, kb : kb + nb]  # (B, W, nb)
+            lcols = []
+            rowvs = []
+            for jj in range(nb):
+                j = kb + jj
+                colv = strip[:, :, jj]  # (B, W)
+                dj = colv[:, j]
+                lcol = jnp.where(
+                    colsW[None, :] > j, colv / dj[:, None], 0
+                )
+                lcol = lcol.at[:, j].set(1)
+                # masked columns never receive updates (live_col): a
+                # masked pivot drifting to 0 would spray inf*0 = NaN
+                # into real columns (see _panel_kernels._factor)
+                rowv = jnp.where(
+                    (colsW[None, :] > j) & live_col, colv, 0
+                )
+                strip = strip - lcol[:, :, None] * rowv[
+                    :, None, kb : kb + nb
+                ]
+                stored = jnp.where(colsW[None, :] >= j, lcol, 0)
+                strip = strip.at[:, :, jj].set(stored)
+                dv = dv.at[:, j].set(dj)
+                lcols.append(stored)
+                rowvs.append(rowv)
+            M = M.at[:, :, kb : kb + nb].set(strip)
+            if kb + nb < W:
+                Lb = jnp.stack(lcols, axis=2)  # (B, W, nb)
+                Cb = jnp.stack(rowvs, axis=2)  # (B, W, nb)
+                upd = jnp.einsum(
+                    "brk,bck->brc", Lb, Cb[:, kb + nb :, :]
+                )
+                M = M.at[:, :, kb + nb :].add(-upd)
+        return M, dv
+
     def _fac_phase(Lp, dext, s):
         panel = _slice_panels(Lp, off_e[s])  # (Bf, MR, W)
         ws = w_e[s]  # (Bf,)
@@ -471,27 +521,7 @@ def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
         top = jnp.where(live_col[:, None, :], panel[:, :W, :], 0)
         diag = jnp.einsum("bii->bi", top)
         top = top.at[:, colsW, colsW].set(jnp.where(live_col, diag, 1))
-
-        def step(j, carry):
-            M, dv = carry  # (Bf, W, W), (Bf, W)
-            colv = M[:, :, j]  # (Bf, W)
-            dj = colv[:, j]  # (Bf,)
-            lcol = jnp.where(colsW[None, :] > j, colv / dj[:, None], 0)
-            lcol = lcol.at[:, j].set(1)
-            rowv = jnp.where(
-                (colsW[None, :] > j) & live_col, colv, 0
-            )
-            M = M - lcol[:, :, None] * rowv[:, None, :]
-            M = M.at[:, :, j].set(
-                jnp.where(colsW[None, :] >= j, lcol, 0)
-            )
-            dv = dv.at[:, j].set(dj)
-            return M, dv
-
-        nB = panel.shape[0]
-        top, dvec = lax.fori_loop(
-            0, W, step, (top, jnp.ones((nB, W), dtype))
-        )
+        top, dvec = _fac_top(top, live_col)
         if PB:
             bottom = panel[:, W:, :]
             xt = lax.linalg.triangular_solve(
