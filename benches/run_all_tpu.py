@@ -183,6 +183,46 @@ def main():
         ("chunked140", [py, "-u", "benches/r2/r2_chunked140.py"], 2400),
         ("spmv_battery", [py, "-u", "benches/r2/r2_spmv_battery.py"], 1800),
         ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
+        # second pass (round-3 batched-LDL follow-ups; resume skips the
+        # completed stages above)
+        (
+            "ldl_phase",
+            [
+                py, "-u", "benches/r3/r3_ldl_phase.py",
+                "--grid", "256", "--fill", "nd",
+                "--json", os.path.join(OUT, "ldl_phase.json"),
+            ],
+            2400,
+        ),
+        (
+            "ldl256_nd_v2",
+            [
+                py, "-u", "benches/ldl_bench.py",
+                "--grid", "256", "--fill", "nd",
+                "--rel-zeros", "0.85", "--scan-iters", "0", "--skip-seq",
+                "--json", os.path.join(OUT, "ldl_256_nd_v2.json"),
+            ],
+            2400,
+        ),
+        (
+            "ldl512",
+            [
+                py, "-u", "benches/ldl_big.py",
+                "--grid", "512", "--fill", "nd", "--kind", "mf",
+                "--json", os.path.join(OUT, "ldl_512.json"),
+            ],
+            3000,
+        ),
+        (
+            "ldl1024",
+            [
+                py, "-u", "benches/ldl_big.py",
+                "--grid", "1024", "--fill", "nd", "--kind", "super",
+                "--iters", "2",
+                "--json", os.path.join(OUT, "ldl_1024.json"),
+            ],
+            4800,
+        ),
     ]
 
     # stage-level resume: reload the previous summary; completed stages

@@ -542,16 +542,18 @@ class LdlNumeric:
             if is_concrete(a.data):
                 backend = "host"
             else:
-                # traced/device data: prefer the supernodal MXU numeric
-                # when a plan is feasible; the sequential row scan is the
-                # fallback for tiny or pathological structures.
+                # traced/device data: prefer the LEVEL-BATCHED supernodal
+                # numeric when a plan is feasible (0.32 s vs 0.72 s
+                # sequential-supernodal vs 3.2 s round-2 at 65k rows on
+                # TPU); the sequential row scan is the fallback for tiny
+                # or pathological structures.
                 backend = "device"
                 if sym.n >= 256:
                     from .ldl_super import SupernodalPlanError
 
                     try:
                         sym.super_plan()
-                        backend = "supernodal"
+                        backend = "super-batched"
                     except SupernodalPlanError:
                         pass
         if backend == "host":
