@@ -63,6 +63,56 @@ from jax import lax
 from ..formats.util import INDEX_DTYPE
 
 
+def blocked_ldl_top(top, live_col, *, nbf: int = 8):
+    """Blocked right-looking LDL of batched (B, W, W) top blocks.
+
+    The rank-1 formulation rewrites the FULL block W times inside a
+    fori_loop (~2 GB of HBM traffic per 64-lane round at W=128,
+    measured ~10 ms/round on the tunnel chip); here pivots advance
+    through ``nbf``-wide strips (cheap rank-1 mini-steps touch only a
+    (B, W, nbf) strip) and each strip pushes ONE rank-``nbf`` trailing
+    update — an MXU einsum.  Exact up to reassociation of the trailing
+    sums.  Inputs follow ``_panel_kernels._factor``'s conventions:
+    masked (non-live) columns are e_j with unit pivots and NEVER
+    receive updates — a masked pivot drifting to 0 would spray
+    inf·0 = NaN into real columns.
+
+    Returns ``(factored_top, dvec)`` with column j replaced by its
+    unit-lower lcol (zeros above the diagonal) and dvec the pivots
+    (1 on masked columns).
+    """
+    nB, W, _ = top.shape
+    dtype = top.dtype
+    colsW = jnp.arange(W, dtype=jnp.int32)
+    M = top
+    dv = jnp.ones((nB, W), dtype)
+    for kb in range(0, W, nbf):
+        nb = min(nbf, W - kb)
+        strip = M[:, :, kb : kb + nb]  # (B, W, nb)
+        lcols = []
+        rowvs = []
+        for jj in range(nb):
+            j = kb + jj
+            colv = strip[:, :, jj]  # (B, W)
+            dj = colv[:, j]
+            lcol = jnp.where(colsW[None, :] > j, colv / dj[:, None], 0)
+            lcol = lcol.at[:, j].set(1)
+            rowv = jnp.where((colsW[None, :] > j) & live_col, colv, 0)
+            strip = strip - lcol[:, :, None] * rowv[:, None, kb : kb + nb]
+            stored = jnp.where(colsW[None, :] >= j, lcol, 0)
+            strip = strip.at[:, :, jj].set(stored)
+            dv = dv.at[:, j].set(dj)
+            lcols.append(stored)
+            rowvs.append(rowv)
+        M = M.at[:, :, kb : kb + nb].set(strip)
+        if kb + nb < W:
+            Lb = jnp.stack(lcols, axis=2)  # (B, W, nb)
+            Cb = jnp.stack(rowvs, axis=2)  # (B, W, nb)
+            upd = jnp.einsum("brk,bck->brc", Lb, Cb[:, kb + nb :, :])
+            M = M.at[:, :, kb + nb :].add(-upd)
+    return M, dv
+
+
 def _window_scatter_add(arr, starts, updates):
     """arr[starts[i] : starts[i]+L] += updates[i] for every lane i.
 
@@ -462,57 +512,6 @@ def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
 
     agg_phases = [_make_agg_phase(bi) for bi in range(nb)]
 
-    # ---- batched factor --------------------------------------------------
-    # Blocked right-looking LDL on the (B, W, W) top block: the rank-1
-    # formulation rewrites the FULL block W times inside a fori_loop
-    # (~2 GB of HBM traffic per 64-lane round at W=128, measured ~10
-    # ms/round); here pivots advance through NBF-wide strips (cheap
-    # rank-1 mini-steps touch only a (B, W, NBF) strip) and each strip
-    # pushes ONE rank-NBF trailing update — an MXU einsum.  Exact up to
-    # reassociation of the trailing sums (the module contract).
-    NBF = 8
-
-    def _fac_top(top, live_col):
-        nB = top.shape[0]
-        M = top
-        dv = jnp.ones((nB, W), dtype)
-        for kb in range(0, W, NBF):
-            nb = min(NBF, W - kb)
-            strip = M[:, :, kb : kb + nb]  # (B, W, nb)
-            lcols = []
-            rowvs = []
-            for jj in range(nb):
-                j = kb + jj
-                colv = strip[:, :, jj]  # (B, W)
-                dj = colv[:, j]
-                lcol = jnp.where(
-                    colsW[None, :] > j, colv / dj[:, None], 0
-                )
-                lcol = lcol.at[:, j].set(1)
-                # masked columns never receive updates (live_col): a
-                # masked pivot drifting to 0 would spray inf*0 = NaN
-                # into real columns (see _panel_kernels._factor)
-                rowv = jnp.where(
-                    (colsW[None, :] > j) & live_col, colv, 0
-                )
-                strip = strip - lcol[:, :, None] * rowv[
-                    :, None, kb : kb + nb
-                ]
-                stored = jnp.where(colsW[None, :] >= j, lcol, 0)
-                strip = strip.at[:, :, jj].set(stored)
-                dv = dv.at[:, j].set(dj)
-                lcols.append(stored)
-                rowvs.append(rowv)
-            M = M.at[:, :, kb : kb + nb].set(strip)
-            if kb + nb < W:
-                Lb = jnp.stack(lcols, axis=2)  # (B, W, nb)
-                Cb = jnp.stack(rowvs, axis=2)  # (B, W, nb)
-                upd = jnp.einsum(
-                    "brk,bck->brc", Lb, Cb[:, kb + nb :, :]
-                )
-                M = M.at[:, :, kb + nb :].add(-upd)
-        return M, dv
-
     def _fac_phase(Lp, dext, s):
         panel = _slice_panels(Lp, off_e[s])  # (Bf, MR, W)
         ws = w_e[s]  # (Bf,)
@@ -521,7 +520,7 @@ def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
         top = jnp.where(live_col[:, None, :], panel[:, :W, :], 0)
         diag = jnp.einsum("bii->bi", top)
         top = top.at[:, colsW, colsW].set(jnp.where(live_col, diag, 1))
-        top, dvec = _fac_top(top, live_col)
+        top, dvec = blocked_ldl_top(top, live_col)
         if PB:
             bottom = panel[:, W:, :]
             xt = lax.linalg.triangular_solve(

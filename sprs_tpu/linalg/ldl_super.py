@@ -471,28 +471,15 @@ def _panel_kernels(off_a, c0_a, w_a, rows_a, W: int, MR: int, dtype):
         top = top.at[colsW, colsW].set(
             jnp.where(live_col, jnp.diagonal(top), 1)
         )
+        # blocked right-looking factor of the W×W top (shared with the
+        # level-batched numeric; the old rank-1 fori_loop rewrote the
+        # full block W times — see blocked_ldl_top's docstring for the
+        # masked-column NaN guard this preserves)
+        from .ldl_batched import blocked_ldl_top
 
-        def step(j, carry):
-            M, dv = carry
-            colv = M[:, j]
-            dj = colv[j]
-            lcol = jnp.where(colsW > j, colv / dj, 0).at[j].set(1)
-            # rowv masked to LIVE columns: the top block carries below
-            # rows in slots [ws, W) whenever the panel is narrower than
-            # W; their cross-terms belong to later supernodes (the
-            # _update tasks recompute them) and must not accumulate in
-            # the masked columns — a masked column that drifted to an
-            # exactly-zero pivot turned lcol into inf and the next
-            # outer product sprayed inf*0 = NaN into REAL columns.
-            rowv = jnp.where((colsW > j) & live_col, colv, 0)
-            M = M - jnp.outer(lcol, rowv)
-            M = M.at[:, j].set(jnp.where(colsW >= j, lcol, 0))
-            dv = dv.at[j].set(dj)
-            return M, dv
-
-        top, dvec = lax.fori_loop(
-            0, W, step, (top, jnp.ones((W,), dtype))
-        )
+        top, dvec = blocked_ldl_top(top[None], live_col[None])
+        top = top[0]
+        dvec = dvec[0]
         if PB:
             bottom = panel[W:, :]
             xt = lax.linalg.triangular_solve(
