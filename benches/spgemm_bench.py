@@ -261,20 +261,43 @@ def _run_isolated(specs, batch: int = 4, on_point=None):
     import subprocess
     import sys
 
+    # heavy points (many partial products) run SOLO with a scaled
+    # timeout: round-3 lost the 4 largest density points to one shared
+    # 1800 s batch timeout
+    def weight(s):
+        r, c = s["shape_a"]
+        return s["density"] * r * c
+
+    chunks = []
+    cur = []
+    for s in specs:
+        if weight(s) > 2e5:
+            if cur:
+                chunks.append(cur)
+                cur = []
+            chunks.append([s])
+        else:
+            cur.append(s)
+            if len(cur) >= batch:
+                chunks.append(cur)
+                cur = []
+    if cur:
+        chunks.append(cur)
+
     out = []
-    for i in range(0, len(specs), batch):
-        chunk = specs[i : i + batch]
+    for chunk in chunks:
+        tmo = 1800 if len(chunk) > 1 or weight(chunk[0]) <= 2e5 else 3600
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", json.dumps(chunk)],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                timeout=tmo,
             )
             stdout, stderr = proc.stdout, proc.stderr
         except subprocess.TimeoutExpired as e:
             stdout = (e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes) else (e.stdout or "")
-            stderr = "TIMEOUT (1800s)"
+            stderr = f"TIMEOUT ({tmo}s)"
         got = []
         for line in (stdout or "").strip().splitlines():
             try:
@@ -303,7 +326,37 @@ def main():
         action="store_true",
         help="run workloads in-process (CPU backends)",
     )
+    ap.add_argument(
+        "--retry-errors",
+        action="store_true",
+        help="re-run only the error rows of an existing --out file "
+        "(solo subprocesses, scaled timeouts) and merge in place",
+    )
     args = ap.parse_args()
+
+    if args.retry_errors:
+        import os
+
+        if not (args.out and os.path.exists(args.out)):
+            raise SystemExit("--retry-errors needs an existing --out file")
+        results = json.load(open(args.out))
+        for key in ("density_sweep", "shape_sweep"):
+            rows = results.get(key, [])
+            for i, row in enumerate(rows):
+                if "error" not in row:
+                    continue
+                spec = {
+                    k: row[k] for k in ("shape_a", "shape_b", "density")
+                }
+                got = _run_isolated([spec])
+                rows[i] = got[0]
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=1)
+        rows_all = results["density_sweep"] + results["shape_sweep"]
+        ok = all(r.get("equal", True) for r in rows_all if "error" not in r)
+        nerr = sum(1 for r in rows_all if "error" in r)
+        print(json.dumps({"all_equal": ok, "remaining_errors": nerr}))
+        return
 
     if args.one:
         for spec in json.loads(args.one):
