@@ -186,14 +186,6 @@ def main():
         # second pass (round-3 batched-LDL follow-ups; resume skips the
         # completed stages above)
         (
-            "spgemm_heavy",
-            [
-                py, "-u", "benches/spgemm_bench.py", "--retry-errors",
-                "--out", "benches/results_spgemm_tpu_r3.json",
-            ],
-            7200,
-        ),
-        (
             "ldl_phase",
             [
                 py, "-u", "benches/r3/r3_ldl_phase.py",
@@ -211,6 +203,14 @@ def main():
                 "--json", os.path.join(OUT, "ldl_256_nd_v2.json"),
             ],
             2400,
+        ),
+        (
+            "spgemm_heavy",
+            [
+                py, "-u", "benches/spgemm_bench.py", "--retry-errors",
+                "--out", "benches/results_spgemm_tpu_r3.json",
+            ],
+            7200,
         ),
         (
             "ldl512",
