@@ -37,6 +37,45 @@ def health_reference():
     return dt
 
 
+def _scipy_baseline(a, n, iters=3):
+    """Host f64 scipy splu factor+solve wall-clock on the same matrix.
+
+    The external competitive anchor (reference discipline:
+    sprs-benches compares against Eigen/scipy, main.rs:8-82) — TPU
+    factor times are reported next to this, not only next to our own
+    sequential scan."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    indptr = np.asarray(a.indptr).astype(np.int64)
+    nnz = int(indptr[-1])
+    A = sp.csc_matrix(
+        (
+            np.asarray(a.data)[:nnz].astype(np.float64),
+            np.asarray(a.indices)[:nnz].astype(np.int64),
+            indptr,
+        ),
+        shape=(n, n),
+    )
+    b = np.linspace(1.0, 2.0, n)
+    best_f = float("inf")
+    lu = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lu = spla.splu(A)
+        best_f = min(best_f, time.perf_counter() - t0)
+    best_s = float("inf")
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        _ = lu.solve(b)
+        best_s = min(best_s, time.perf_counter() - t0)
+    return {
+        "scipy_splu_factor_s": best_f,
+        "scipy_splu_solve_s": best_s,
+        "scipy_splu_lnz": int(lu.L.nnz + lu.U.nnz),
+    }
+
+
 def prep(grid, fill="rcm"):
     mat = dirichlet_laplacian((grid, grid))
     t0 = time.perf_counter()
@@ -80,7 +119,7 @@ def main():
         # the in-flight measurement (round-2 lost whole stages)
         if args.json:
             with open(args.json, "w") as f:
-                json.dump(out, f)
+                json.dump(out, f); f.write("\n")
     print(f"# backend={jax.default_backend()}", flush=True)
     h = health_reference()
     out["health_us"] = round(h * 1e6, 1)
@@ -189,7 +228,7 @@ def main():
     # ARGUMENTS (CLAUDE.md: closing over big arrays embeds them as HLO
     # constants and balloons the remote-compile payload).
     from sprs_tpu.linalg.ldl_super import panels_from_csc, solve_supernodal
-    from sprs_tpu.linalg.trisolve import _level_solve_csr
+    from sprs_tpu.linalg.trisolve import _flat_solve_csr, _level_solve_csr
 
     from sprs_tpu.linalg.ldl import LdlNumeric
 
@@ -210,6 +249,16 @@ def main():
         x = x / dv
         return _level_solve_csr(lt, x, sym.sched_upper)
 
+    # flat O(lnz) stream solve — schedules are pytree ARGUMENTS (their
+    # 5·lnz streams would otherwise embed as HLO constants)
+    flat_lo, flat_up = sym.flat_scheds()
+
+    @jax.jit
+    def run_flat(lc, lt, slo, sup, dv, v):
+        x = _flat_solve_csr(lc, v / (1.0 + jnp.abs(v[0])), slo)
+        x = x / dv
+        return _flat_solve_csr(lt, x, sup)
+
     def _time(fn, *ops):
         y = fn(*ops, b0)
         _ = float(jnp.asarray(y).reshape(-1)[0])  # compile + settle
@@ -224,10 +273,30 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    for meth, fn, ops in (
+    # the padded level kernel's per-level gather is
+    # (level_width × max_row_nnz): pre-skip past the trisolve auto
+    # cliff instead of burning a multi-minute remote compile on a
+    # guaranteed OOM (round-3 advisor item)
+    w_pad = max(
+        int(np.diff(np.asarray(sym.lcsr_indptr)).max(initial=1)),
+        int(np.diff(np.asarray(sym.l_indptr)).max(initial=1)),
+    )
+    levels_feasible = n * w_pad <= (1 << 24)
+
+    variants = [
         ("super", run_super, (plan, panels, num.d)),
-        ("levels", run_levels, (num.l_csr(), num.lt(), num.d)),
-    ):
+        ("flat", run_flat, (num.l_csr(), num.lt(), flat_lo, flat_up, num.d)),
+    ]
+    if levels_feasible:
+        variants.append(("levels", run_levels, (num.l_csr(), num.lt(), num.d)))
+    else:
+        out["solve_levels_s"] = None
+        out["solve_levels_skip"] = (
+            f"padded n*w = {n}*{w_pad} > 2^24 — flat path covers it"
+        )
+        print(f"solve[levels]: pre-skipped ({out['solve_levels_skip']})",
+              flush=True)
+    for meth, fn, ops in variants:
         try:
             t_sol = _time(fn, *ops)
             out[f"solve_{meth}_s"] = t_sol
@@ -237,13 +306,29 @@ def main():
             print(f"solve[{meth}]: failed ({e})", flush=True)
         dump()
 
+    # external host baseline: scipy splu (f64) factor + solve wall-clock
+    # on the same matrix (VERDICT r3 #4 — a competitive anchor, not our
+    # own scan)
+    try:
+        t_ext = _scipy_baseline(a, n)
+        out.update(t_ext)
+        print(
+            f"scipy splu: factor {t_ext['scipy_splu_factor_s']*1e3:.1f} ms, "
+            f"solve {t_ext['scipy_splu_solve_s']*1e3:.2f} ms",
+            flush=True,
+        )
+    except Exception as e:
+        out["scipy_splu_factor_s"] = None
+        print(f"scipy splu baseline failed: {e}", flush=True)
+    dump()
+
     # row-scan baseline (optionally smaller grid if the full size is
     # prohibitively slow -- report normalized per-flop time too)
     if args.scan_iters == 0:
         print(json.dumps(out), flush=True)
         if args.json:
             with open(args.json, "w") as f:
-                json.dump(out, f)
+                json.dump(out, f); f.write("\n")
         return
     sg = args.scan_grid or args.grid
     if sg == args.grid:
@@ -274,7 +359,7 @@ def main():
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(out, f)
+            json.dump(out, f); f.write("\n")
 
 
 if __name__ == "__main__":

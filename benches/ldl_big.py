@@ -34,6 +34,22 @@ def main():
     ap.add_argument("--panel-limit", type=int, default=1 << 28)
     ap.add_argument("--map-limit", type=int, default=1 << 27)
     ap.add_argument("--agg-limit", type=int, default=1 << 28)
+    ap.add_argument(
+        "--rtol",
+        type=float,
+        default=2e-3,
+        help="pass bar on the relative backward error "
+        "||Ax-b||inf/(||A||inf*||x||inf+||b||inf); f32 LDL accumulates "
+        "over column lengths up to MR (~1e3 here), so the expected "
+        "scale is O(eps_f32 * MR) ~ 1e-4; 2e-3 leaves a 10-20x margin",
+    )
+    ap.add_argument(
+        "--host-check",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="cross-check the device factor against the exact f64 host "
+        "numeric (auto: on for n <= 300k)",
+    )
     args = ap.parse_args()
 
     out = {"grid": args.grid, "fill": args.fill, "kind": args.kind}
@@ -41,7 +57,7 @@ def main():
     def dump():
         if args.json:
             with open(args.json, "w") as f:
-                json.dump(out, f)
+                json.dump(out, f); f.write("\n")
 
     import jax
     import jax.numpy as jnp
@@ -171,9 +187,46 @@ def main():
     print(f"panel solve: {best*1e3:.2f} ms", flush=True)
     dump()
 
-    # correctness probe: ||A x − b||_inf through the panel solve (the
-    # level solve would OOM at this scale; permutation applied manually
-    # so no second plan build is triggered)
+    # flat O(lnz) stream solve at scale (round-4: first TPU timing of
+    # trisolve method='flat'; schedules are pytree ARGUMENTS)
+    from sprs_tpu.linalg.ldl import LdlNumeric
+    from sprs_tpu.linalg.trisolve import _flat_solve_csr
+
+    num = LdlNumeric(sym, lx, d)
+    try:
+        t0 = time.perf_counter()
+        flat_lo, flat_up = sym.flat_scheds()
+        out["t_flat_sched_s"] = round(time.perf_counter() - t0, 2)
+
+        @jax.jit
+        def run_flat(lc, lt, slo, sup, dv, v):
+            xx = _flat_solve_csr(lc, v / (1.0 + jnp.abs(v[0])), slo)
+            xx = xx / dv
+            return _flat_solve_csr(lt, xx, sup)
+
+        fops = (num.l_csr(), num.lt(), flat_lo, flat_up, num.d)
+        y = run_flat(*fops, b0)
+        _ = float(np.asarray(y)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v = b0
+            for _ in range(max(args.iters, 3)):
+                v = run_flat(*fops, v)
+            _ = float(np.asarray(v)[0])
+            best = min(best, (time.perf_counter() - t0) / max(args.iters, 3))
+        out["solve_flat_s"] = best
+        print(f"flat solve: {best*1e3:.2f} ms", flush=True)
+    except Exception as e:
+        out["solve_flat_s"] = None
+        print(f"flat solve failed: {e}", flush=True)
+    dump()
+
+    # ---- correctness: relative backward error with a pass bar --------
+    # (round-4 verdict #2: the raw inf-norm residual at 262k read 122.9
+    # with b=ones — but ||x||inf ~ 33k there, so the RELATIVE backward
+    # error was ~5e-4: f32-accumulation scale, not a broken factor.
+    # Make that explicit and asserted.)
     ones = np.ones(sym.n, np.float32)
     bb = jnp.asarray(ones)
     if sym.perm is not None:
@@ -181,10 +234,124 @@ def main():
     xs = solve_supernodal(plan, panels, d, bb)
     if sym.perm is not None:
         xs = xs[jnp.asarray(sym.perm.inv)]
-    r = np.asarray(st.spmv(mat, np.asarray(xs))) - 1.0
+    x_np = np.asarray(xs, np.float64)
+    r = np.asarray(st.spmv(mat, np.asarray(xs)), np.float64) - 1.0
+    # host ||A||inf on the live entries
+    ip = np.asarray(mat.to_csr().indptr).astype(np.int64)
+    da = np.abs(np.asarray(mat.to_csr().data)[: int(ip[-1])])
+    norm_a = float(
+        np.bincount(
+            np.repeat(np.arange(sym.n), np.diff(ip)),
+            weights=da,
+            minlength=sym.n,
+        ).max()
+    )
+    denom = norm_a * np.abs(x_np).max() + 1.0
     out["residual_inf"] = float(np.abs(r).max())
-    print(f"residual_inf={out['residual_inf']:.3e}", flush=True)
+    out["residual_rel"] = float(np.abs(r).max() / denom)
+    out["norm_a_inf"] = norm_a
+    out["norm_x_inf"] = float(np.abs(x_np).max())
+    out["residual_ok"] = bool(out["residual_rel"] < args.rtol)
+    print(
+        f"residual_inf={out['residual_inf']:.3e} "
+        f"rel={out['residual_rel']:.3e} (bar {args.rtol:.0e}) "
+        f"ok={out['residual_ok']}",
+        flush=True,
+    )
     dump()
+
+    # panel solve vs flat solve cross-check (two independent kernels on
+    # the same factor must agree to f32 rounding)
+    try:
+        xf = _flat_solve_csr(num.l_csr(), bb, flat_lo)
+        xf = xf / num.d
+        xf = _flat_solve_csr(num.lt(), xf, flat_up)
+        if sym.perm is not None:
+            xf = xf[jnp.asarray(sym.perm.inv)]
+        dx = float(np.abs(np.asarray(xf, np.float64) - x_np).max())
+        out["flat_vs_panel_inf"] = dx
+        out["flat_vs_panel_rel"] = dx / (np.abs(x_np).max() + 1.0)
+        print(f"flat-vs-panel rel diff {out['flat_vs_panel_rel']:.3e}",
+              flush=True)
+    except Exception as e:
+        print(f"flat cross-check failed: {e}", flush=True)
+    dump()
+
+    # ---- external f64 baseline + forward-error cross-check -----------
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        acsr = mat.to_csr()
+        nnz_a = int(ip[-1])
+        A = sp.csc_matrix(
+            (
+                np.asarray(acsr.data)[:nnz_a].astype(np.float64),
+                np.asarray(acsr.indices)[:nnz_a].astype(np.int64),
+                ip,
+            ),
+            shape=(sym.n, sym.n),
+        )
+        t0 = time.perf_counter()
+        lu = spla.splu(A)
+        out["scipy_splu_factor_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x_ref = lu.solve(np.ones(sym.n))
+        out["scipy_splu_solve_s"] = time.perf_counter() - t0
+        out["scipy_splu_lnz"] = int(lu.L.nnz + lu.U.nnz)
+        r_ref = A @ x_ref - 1.0
+        out["scipy_rel_resid"] = float(
+            np.abs(r_ref).max() / (norm_a * np.abs(x_ref).max() + 1.0)
+        )
+        # forward error of the TPU solution vs the f64 reference —
+        # expected up to cond(A)*residual_rel, reported for color
+        out["fwd_err_rel"] = float(
+            np.abs(x_np - x_ref).max() / np.abs(x_ref).max()
+        )
+        print(
+            f"scipy splu: factor {out['scipy_splu_factor_s']:.2f}s "
+            f"solve {out['scipy_splu_solve_s']*1e3:.1f}ms "
+            f"lnz={out['scipy_splu_lnz']} "
+            f"fwd_err_rel={out['fwd_err_rel']:.3e}",
+            flush=True,
+        )
+    except Exception as e:
+        out["scipy_splu_factor_s"] = None
+        print(f"scipy baseline failed: {e}", flush=True)
+    dump()
+
+    # ---- exact f64 host-factor cross-check ----------------------------
+    hc = args.host_check
+    if hc == "auto":
+        hc = "on" if sym.n <= 300_000 else "off"
+    if hc == "on":
+        try:
+            t0 = time.perf_counter()
+            num_h = LdlNumeric.factor(sym, mat, backend="host")
+            out["t_host_factor_s"] = round(time.perf_counter() - t0, 2)
+            d_h = np.asarray(num_h.d, np.float64)
+            d_t = np.asarray(d, np.float64)
+            out["d_rel_err"] = float(
+                np.abs(d_t - d_h).max() / np.abs(d_h).max()
+            )
+            l_h = np.asarray(num_h.l_data, np.float64)
+            l_t = np.asarray(lx, np.float64)
+            out["l_rel_err"] = float(
+                np.abs(l_t - l_h).max() / (np.abs(l_h).max() + 1.0)
+            )
+            out["factor_ok"] = bool(
+                out["d_rel_err"] < 1e-2 and out["l_rel_err"] < 1e-2
+            )
+            print(
+                f"host f64 cross-check: d_rel_err={out['d_rel_err']:.3e} "
+                f"l_rel_err={out['l_rel_err']:.3e} ok={out['factor_ok']} "
+                f"({out['t_host_factor_s']}s)",
+                flush=True,
+            )
+        except Exception as e:
+            out["factor_ok"] = None
+            print(f"host cross-check failed: {e}", flush=True)
+        dump()
     print(json.dumps(out), flush=True)
 
 

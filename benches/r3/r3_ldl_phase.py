@@ -49,7 +49,7 @@ def main():
     def dump():
         if args.json:
             with open(args.json, "w") as f:
-                json.dump(out, f)
+                json.dump(out, f); f.write("\n")
 
     x = jnp.asarray(np.random.default_rng(0).random(1 << 20, np.float32))
     h = chain_time_best(jax.jit(lambda v: v * 1.01 + 1), x, iters=20, rounds=2)

@@ -32,7 +32,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benches", "results_r3")
+OUT = os.path.join(REPO, "benches", "results_r4")
 
 GATE_SRC = r"""
 import time, sys
@@ -150,67 +150,37 @@ def main():
     py = sys.executable
 
     stages = [
-        # (name, cmd, timeout_s)
+        # (name, cmd, timeout_s) — SpGEMM stages FIRST (round-4 verdict:
+        # they lost the budget race two rounds running)
+        (
+            "spgemm_sweep",
+            [
+                py, "-u", "benches/spgemm_bench.py",
+                "--out", "benches/results_spgemm_tpu_r4.json",
+            ],
+            5400,
+        ),
+        ("chunked140", [py, "-u", "benches/r2/r2_chunked140.py"], 2400),
+        (
+            "spgemm_heavy",
+            [
+                py, "-u", "benches/spgemm_bench.py", "--retry-errors",
+                "--out", "benches/results_spgemm_tpu_r4.json",
+            ],
+            7200,
+        ),
         ("bench", [py, "-u", "bench.py"], 1800),
+        ("spmv_battery", [py, "-u", "benches/r2/r2_spmv_battery.py"], 1800),
+        ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
         (
             "ldl256_nd",
             [
                 py, "-u", "benches/ldl_bench.py",
                 "--grid", "256", "--fill", "nd",
-                "--rel-zeros", "0.85", "--scan-iters", "0",
+                "--rel-zeros", "0.85", "--scan-iters", "0", "--skip-seq",
                 "--json", os.path.join(OUT, "ldl_256_nd.json"),
             ],
             2400,
-        ),
-        (
-            "ldl256_camd",
-            [
-                py, "-u", "benches/ldl_bench.py",
-                "--grid", "256", "--fill", "camd",
-                "--rel-zeros", "0.85", "--scan-iters", "0",
-                "--json", os.path.join(OUT, "ldl_256_camd.json"),
-            ],
-            2400,
-        ),
-        (
-            "spgemm_sweep",
-            [
-                py, "-u", "benches/spgemm_bench.py",
-                "--out", "benches/results_spgemm_tpu_r3.json",
-            ],
-            5400,
-        ),
-        ("chunked140", [py, "-u", "benches/r2/r2_chunked140.py"], 2400),
-        ("spmv_battery", [py, "-u", "benches/r2/r2_spmv_battery.py"], 1800),
-        ("sortexp", [py, "-u", "benches/r2/r2_sortexp.py"], 1800),
-        # second pass (round-3 batched-LDL follow-ups; resume skips the
-        # completed stages above)
-        (
-            "ldl_phase",
-            [
-                py, "-u", "benches/r3/r3_ldl_phase.py",
-                "--grid", "256", "--fill", "nd",
-                "--json", os.path.join(OUT, "ldl_phase.json"),
-            ],
-            2400,
-        ),
-        (
-            "ldl256_nd_v2",
-            [
-                py, "-u", "benches/ldl_bench.py",
-                "--grid", "256", "--fill", "nd",
-                "--rel-zeros", "0.85", "--scan-iters", "0", "--skip-seq",
-                "--json", os.path.join(OUT, "ldl_256_nd_v2.json"),
-            ],
-            2400,
-        ),
-        (
-            "spgemm_heavy",
-            [
-                py, "-u", "benches/spgemm_bench.py", "--retry-errors",
-                "--out", "benches/results_spgemm_tpu_r3.json",
-            ],
-            7200,
         ),
         (
             "ldl512",
@@ -245,6 +215,7 @@ def main():
     def flush_summary():
         with open(summary_path, "w") as f:
             json.dump(results, f, indent=1)
+            f.write("\n")
 
     if not import_smoke(gatelog):
         print("IMPORT SMOKE FAILED — aborting before any gate probe")

@@ -48,7 +48,12 @@ from ..formats.util import INDEX_DTYPE, is_concrete
 from ..ops.permutation import Permutation
 from ..ops.symmetry import is_symmetric
 from .ordering import reverse_cuthill_mckee
-from .trisolve import TriSchedule, build_schedule, _level_solve_csr
+from .trisolve import (
+    TriSchedule,
+    build_schedule,
+    _flat_solve_csr,
+    _level_solve_csr,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +339,43 @@ class LdlSymbolic:
             wc=wc,
         )
         return sym
+
+    def flat_scheds(self):
+        """Flat O(lnz) trisolve schedules for both sweeps (lazy, cached).
+
+        The padded level kernel's per-level gather is
+        (level_width × max_row_nnz) — 239 GB of HLO on a 65k-row camd
+        factor (BASELINE.md round-2).  The flat entry-stream schedule
+        (:func:`trisolve.build_flat_schedule`) costs O(lnz) at any
+        depth; ``solve(method='levels')`` escapes to it automatically
+        past the same cliff trisolve's auto dispatch uses."""
+        cached = self.__dict__.get("_flat_scheds")
+        if cached is None:
+            from .trisolve import build_flat_schedule
+
+            lnz = self.nnz
+            lcsr_sym = csmat(
+                (self.n, self.n),
+                self.lcsr_indptr.astype(np.int32),
+                self.lcsr_indices.astype(np.int32),
+                np.zeros(lnz),
+                storage=CSR,
+                validate=False,
+            )
+            lt_sym = csmat(
+                (self.n, self.n),
+                self.l_indptr.astype(np.int32),
+                self.l_indices.astype(np.int32),
+                np.zeros(lnz),
+                storage=CSR,
+                validate=False,
+            )
+            cached = (
+                build_flat_schedule(lcsr_sym, lower=True),
+                build_flat_schedule(lt_sym, lower=False),
+            )
+            object.__setattr__(self, "_flat_scheds", cached)
+        return cached
 
     @property
     def wl(self) -> int:
@@ -660,6 +702,12 @@ class LdlNumeric:
         panel matvecs; O(lnz) traffic where the level solve's per-row
         window reaches the trailing dense-block width on fill-reducing
         orderings (measured 865x on a camd factor's solve).
+        ``method='flat'``: the O(lnz) entry-stream level solve
+        (trisolve ``FlatTriSchedule``) — same level parallelism as
+        'levels' without the (level_width × max_row_nnz) padded gather,
+        which reaches hundreds of GB of HLO on fill-heavy factors.
+        ``'levels'`` escapes to 'flat' automatically past the same
+        n·max_row_nnz > 2²⁴ cliff trisolve's auto dispatch uses.
         ``'auto'`` (default) picks 'super' when a supernodal plan is
         already cached on the symbolic (i.e. the factorization itself
         ran on panels), 'levels' otherwise."""
@@ -697,10 +745,23 @@ class LdlNumeric:
                 if is_concrete(panels):
                     object.__setattr__(self, "_panels", panels)
             x = solve_supernodal(plan, panels, self.d, x)
-        elif method == "levels":
-            x = _level_solve_csr(self.l_csr(), x, s.sched_lower)
-            x = x / self.d
-            x = _level_solve_csr(self.lt(), x, s.sched_upper)
+        elif method in ("levels", "flat"):
+            if method == "levels":
+                w = max(
+                    int(np.diff(s.lcsr_indptr).max(initial=1)),
+                    int(np.diff(s.l_indptr).max(initial=1)),
+                )
+                if s.n * w > (1 << 24):
+                    method = "flat"
+            if method == "flat":
+                lo, up = s.flat_scheds()
+                x = _flat_solve_csr(self.l_csr(), x, lo)
+                x = x / self.d
+                x = _flat_solve_csr(self.lt(), x, up)
+            else:
+                x = _level_solve_csr(self.l_csr(), x, s.sched_lower)
+                x = x / self.d
+                x = _level_solve_csr(self.lt(), x, s.sched_upper)
         else:
             raise ValueError(f"unknown solve method {method!r}")
         if s.perm is not None:

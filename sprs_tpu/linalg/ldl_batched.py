@@ -396,10 +396,21 @@ def build_round_schedule(
     )
 
 
-def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
+def numeric_batched(
+    plan, sched: RoundSchedule, data: jax.Array, *, use_cond: bool = False
+):
     """Jittable level-batched numeric: same ``(l_data, d)`` CSC-slot
     contract as ``numeric_supernodal``/``numeric_multifrontal`` (NaN
-    poisoning on singular inputs — XLA cannot raise)."""
+    poisoning on singular inputs — XLA cannot raise).
+
+    ``use_cond=True`` restores the round-3 ``lax.cond`` phase guards.
+    They are OFF by default: the round-3 phase diagnostic
+    (results_r3/ldl_phase.json) measured a round with every phase
+    disabled at the SAME ~10 ms as a full round — the guards' identity
+    branches forced XLA to copy the (P+MRW) panel carry per cond
+    instead of scattering in place.  Every phase is sentinel-masked
+    (exact-zero deltas), so running them unconditionally is equally
+    correct and lets empty rounds cost only their masked-lane traffic."""
     n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
     MRW = MR * W
     dtype = data.dtype
@@ -550,29 +561,36 @@ def numeric_batched(plan, sched: RoundSchedule, data: jax.Array):
         Lp, dext = carry
         (u_src, u_dst, u_tix, u_cnt, f_s, f_cnt), aggs = xs
 
-        Lp, dext = lax.cond(
-            u_cnt > 0,
-            lambda L, de: _upd_phase(L, de, u_src, u_dst, u_tix),
-            lambda L, de: (L, de),
-            Lp,
-            dext,
-        )
-        for bi in range(nb):
-            slots, cnt = aggs[bi]
+        if use_cond:
             Lp, dext = lax.cond(
-                cnt > 0,
-                lambda L, de, sl=slots, b=bi: agg_phases[b](L, de, sl),
-                lambda L, de, sl=slots, b=bi: (L, de),
+                u_cnt > 0,
+                lambda L, de: _upd_phase(L, de, u_src, u_dst, u_tix),
+                lambda L, de: (L, de),
                 Lp,
                 dext,
             )
-        Lp, dext = lax.cond(
-            f_cnt > 0,
-            lambda L, de: _fac_phase(L, de, f_s),
-            lambda L, de: (L, de),
-            Lp,
-            dext,
-        )
+            for bi in range(nb):
+                slots, cnt = aggs[bi]
+                Lp, dext = lax.cond(
+                    cnt > 0,
+                    lambda L, de, sl=slots, b=bi: agg_phases[b](L, de, sl),
+                    lambda L, de, sl=slots, b=bi: (L, de),
+                    Lp,
+                    dext,
+                )
+            Lp, dext = lax.cond(
+                f_cnt > 0,
+                lambda L, de: _fac_phase(L, de, f_s),
+                lambda L, de: (L, de),
+                Lp,
+                dext,
+            )
+        else:
+            Lp, dext = _upd_phase(Lp, dext, u_src, u_dst, u_tix)
+            for bi in range(nb):
+                slots, _cnt = aggs[bi]
+                Lp, dext = agg_phases[bi](Lp, dext, slots)
+            Lp, dext = _fac_phase(Lp, dext, f_s)
         return (Lp, dext), None
 
     xs_main = (

@@ -289,6 +289,7 @@ def _level_solve_csr(
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class FlatTriSchedule:
     """Entry-stream level schedule: O(lnz + n_levels·E) memory.
@@ -322,6 +323,32 @@ class FlatTriSchedule:
     # per-block finalize streams, (nblocks, E); sentinel row = n
     f_row: np.ndarray
     f_dslot: np.ndarray  # diag position into mat.data
+
+    # Registered pytree: the O(lnz) streams are LEAVES so schedules can
+    # be passed to jitted solves as ARGUMENTS — closing over them embeds
+    # ~5·lnz·4 B of HLO constants (the remote-compile payload cliff,
+    # CLAUDE.md).
+    def tree_flatten(self):
+        return (
+            (self.e_slot, self.e_col, self.e_row, self.f_row, self.f_dslot),
+            (self.n, self.lower, self.E, self.nblocks),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, lower, E, nblocks = aux
+        es, ec, er, fr, fd = leaves
+        return cls(
+            n=n,
+            lower=lower,
+            E=E,
+            nblocks=nblocks,
+            e_slot=es,
+            e_col=ec,
+            e_row=er,
+            f_row=fr,
+            f_dslot=fd,
+        )
 
 
 def build_flat_schedule(
