@@ -99,6 +99,14 @@ def nd_order(
     indptr, indices = _symmetrized_pattern(
         np.asarray(csr.indptr), np.asarray(csr.indices), n
     )
+    from .. import native
+
+    fast = native.nd_order_native(
+        indptr, indices, n, leaf_size, balance_window
+    )
+    if fast is not None:
+        return Permutation.from_array(fast, check=False)
+
     indptr = indptr.astype(np.int64)
     indices = indices.astype(np.int64)
 

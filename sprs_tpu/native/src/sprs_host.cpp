@@ -1193,4 +1193,150 @@ void sprs_spgemm(const int32_t* a_indptr, const int32_t* a_indices,
   }
 }
 
+// Nested-dissection ordering by recursive BFS bisection.  Mirrors
+// sprs_tpu/linalg/nd.py::nd_order step for step (sorted/deduped BFS
+// level sets = np.unique order, two-sweep pseudo-peripheral start,
+// thinnest-separator search in a window around the median level,
+// separators emitted post-visit), so the permutation is bit-identical
+// to the numpy fallback.  Input must be a symmetric pattern (caller
+// symmetrizes).  Writes the order (position -> old index) into
+// order_out; returns the number of vertices emitted (== n on success).
+int64_t sprs_nd_order(const int32_t* indptr, const int32_t* indices,
+                      int64_t n, int64_t leaf_size, double balance_window,
+                      int32_t* order_out) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> level(static_cast<size_t>(n), -1);
+  std::vector<uint8_t> in_sub(static_cast<size_t>(n), 0);
+  std::vector<uint8_t> mark(static_cast<size_t>(n), 0);
+  struct Item {
+    int tag;  // 0 = visit, 1 = emit
+    std::vector<int32_t> verts;
+  };
+  std::vector<Item> stack;
+  {
+    std::vector<int32_t> all(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) all[i] = static_cast<int32_t>(i);
+    stack.push_back({0, std::move(all)});
+  }
+  int64_t out_pos = 0;
+
+  std::vector<std::vector<int32_t>> levels;
+  std::vector<int32_t> front, nxt;
+  auto bfs = [&](int32_t seed) {
+    levels.clear();
+    front.assign(1, seed);
+    level[seed] = 0;
+    int64_t ln = 0;
+    while (!front.empty()) {
+      levels.push_back(front);
+      nxt.clear();
+      for (int32_t v : front) {
+        for (int32_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int32_t u = indices[p];
+          if (in_sub[u] && level[u] < 0) {
+            level[u] = ln + 1;
+            nxt.push_back(u);
+          }
+        }
+      }
+      std::sort(nxt.begin(), nxt.end());
+      ++ln;
+      front.swap(nxt);
+    }
+  };
+  auto reset_levels = [&]() {
+    for (auto& lv : levels)
+      for (int32_t v : lv) level[v] = -1;
+  };
+
+  while (!stack.empty()) {
+    Item it = std::move(stack.back());
+    stack.pop_back();
+    std::vector<int32_t>& verts = it.verts;
+    const int64_t m = static_cast<int64_t>(verts.size());
+    if (it.tag == 1 || m <= leaf_size) {
+      std::copy(verts.begin(), verts.end(), order_out + out_pos);
+      out_pos += m;
+      continue;
+    }
+    for (int32_t v : verts) in_sub[v] = 1;
+    // two-sweep pseudo-peripheral BFS
+    bfs(verts[0]);
+    int32_t far = levels.back()[0];
+    reset_levels();
+    bfs(far);
+    int64_t visited = 0;
+    for (auto& lv : levels) visited += static_cast<int64_t>(lv.size());
+    reset_levels();
+    if (visited < m) {
+      // disconnected: component splits off with an empty separator
+      std::vector<int32_t> comp;
+      comp.reserve(static_cast<size_t>(visited));
+      for (auto& lv : levels)
+        for (int32_t v : lv) {
+          comp.push_back(v);
+          mark[v] = 1;
+        }
+      std::vector<int32_t> rest;
+      rest.reserve(static_cast<size_t>(m - visited));
+      for (int32_t v : verts) {
+        if (!mark[v]) rest.push_back(v);
+        in_sub[v] = 0;
+      }
+      for (int32_t v : comp) mark[v] = 0;
+      stack.push_back({0, std::move(rest)});
+      stack.push_back({0, std::move(comp)});
+      continue;
+    }
+    for (int32_t v : verts) in_sub[v] = 0;
+    const int64_t L = static_cast<int64_t>(levels.size());
+    if (L < 3) {
+      // ball-shaped (diameter < 2): no useful separator
+      std::copy(verts.begin(), verts.end(), order_out + out_pos);
+      out_pos += m;
+      continue;
+    }
+    std::vector<int64_t> csize(static_cast<size_t>(L));
+    int64_t run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+      run += static_cast<int64_t>(levels[i].size());
+      csize[i] = run;
+    }
+    // np.searchsorted side='left': first i with csize[i] >= x
+    auto searchsorted = [&](int64_t x) -> int64_t {
+      return static_cast<int64_t>(
+          std::lower_bound(csize.begin(), csize.end(), x) - csize.begin());
+    };
+    const int64_t half = m / 2;
+    const int64_t lmed = searchsorted(half);
+    const int64_t win =
+        std::max<int64_t>(1, static_cast<int64_t>(m * balance_window));
+    int64_t lo = searchsorted(std::max<int64_t>(half - win, 1));
+    int64_t hi = searchsorted(std::min<int64_t>(half + win, m - 1));
+    lo = std::max<int64_t>(lo, 1);
+    hi = std::min(std::max(hi, lo), L - 2);
+    int64_t cut;
+    if (hi >= lo) {
+      int64_t best = lo;
+      for (int64_t i = lo + 1; i <= hi; ++i)
+        if (static_cast<int64_t>(levels[i].size()) <
+            static_cast<int64_t>(levels[best].size()))
+          best = i;
+      cut = best;
+    } else {
+      cut = lmed;
+    }
+    cut = std::min(std::max<int64_t>(cut, 1), L - 2);
+    std::vector<int32_t> a, b;
+    for (int64_t i = 0; i < cut; ++i)
+      a.insert(a.end(), levels[i].begin(), levels[i].end());
+    for (int64_t i = cut + 1; i < L; ++i)
+      b.insert(b.end(), levels[i].begin(), levels[i].end());
+    stack.push_back({1, std::move(levels[static_cast<size_t>(cut)])});
+    stack.push_back({0, std::move(b)});
+    stack.push_back({0, std::move(a)});
+  }
+  return out_pos;
+}
+
 }  // extern "C"

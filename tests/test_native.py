@@ -291,3 +291,53 @@ class TestNativeSpgemm:
             for i in range(shape_a[0]):
                 row = ci[cp[i] : cp[i + 1]]
                 assert np.all(np.diff(row) > 0) or row.size <= 1
+
+
+class TestNdOrderNative:
+    """C++ nested dissection must be bit-identical to the numpy path
+    (linalg/nd.py) — same BFS level-set order, separator choice, and
+    emit order."""
+
+    def _numpy_order(self, mat, monkeypatch):
+        import os
+
+        from sprs_tpu import native
+        from sprs_tpu.linalg.nd import nd_order
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setenv("SPRS_TPU_NO_NATIVE", "1")
+        try:
+            return nd_order(mat)
+        finally:
+            monkeypatch.delenv("SPRS_TPU_NO_NATIVE")
+
+    def test_grid_parity(self, monkeypatch):
+        from sprs_tpu import native
+        from sprs_tpu.linalg.nd import nd_order
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for shape in [(9, 9), (24, 24), (13, 57)]:
+            mat = dirichlet_laplacian(shape)
+            fast = np.asarray(nd_order(mat).perm)
+            slow = np.asarray(self._numpy_order(mat, monkeypatch).perm)
+            np.testing.assert_array_equal(fast, slow)
+
+    def test_random_pattern_parity(self, monkeypatch):
+        import scipy.sparse as sp
+
+        import sprs_tpu as st
+        from sprs_tpu import native
+        from sprs_tpu.linalg.nd import nd_order
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        A = sp.random(800, 800, density=0.004, random_state=rng)
+        A = ((A + A.T) != 0).astype(np.float64) + sp.eye(800)
+        mat = st.from_scipy(A.tocsr())
+        fast = np.asarray(nd_order(mat).perm)
+        slow = np.asarray(self._numpy_order(mat, monkeypatch).perm)
+        np.testing.assert_array_equal(fast, slow)
+        assert sorted(fast.tolist()) == list(range(800))
