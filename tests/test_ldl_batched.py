@@ -124,3 +124,30 @@ class TestBatchedParity:
         fn = jax.jit(numeric_batched)
         lx, d = fn(plan, sched, mat.to_csr().data)
         _assert_close(host, lx, d)
+
+
+class TestBatchedAtScale:
+    """65k-row (256² nd) parity — the round-4 verdict asked for a
+    >=256² CPU check so at-scale TPU numbers have a correctness anchor
+    (12×12-40² parity says nothing about deep-schedule bugs)."""
+
+    def test_256_grid_nd_parity_and_residual(self):
+        mat = dirichlet_laplacian((256, 256))
+        sym, host, plan = _host_and_plan(
+            mat, "nd", "super", rel_zeros=0.85
+        )
+        sched = build_round_schedule(plan)
+        data = mat.to_csr().data.astype(np.float64)
+        lx, d = numeric_batched(plan, sched, data)
+        # f64 batched rounds reorder commutative adds only
+        _assert_close(host, lx, d, rtol=1e-9)
+        # relative backward error of a full solve through the factor
+        from sprs_tpu.linalg.ldl import LdlNumeric
+
+        num = LdlNumeric(sym, lx, d)
+        n = sym.n
+        b = np.linspace(1.0, 2.0, n)
+        x = np.asarray(num.solve(b, method="super"), np.float64)
+        r = np.asarray(st.spmv(mat, x), np.float64) - b
+        rbe = np.abs(r).max() / (8.0 * np.abs(x).max() + np.abs(b).max())
+        assert rbe < 1e-12, rbe
