@@ -80,15 +80,19 @@ class CapacityError(SprsError):
         )
 
     @classmethod
-    def index_limit(cls, what: str, value: int) -> "CapacityError":
+    def index_limit(
+        cls, what: str, value: int, hint: str = None
+    ) -> "CapacityError":
         """A size crossed the i32 index ceiling — the TPU-native analog
         of SpIndex's 'index type is not large enough' panic
-        (sprs/src/indexing.rs:18-46)."""
+        (sprs/src/indexing.rs:18-46).  ``hint`` names the working
+        escape hatch (docs/SCALE.md documents all of them)."""
         from .formats.util import MAX_INDEX
 
         return cls(
             int(value),
             MAX_INDEX,
             f"{what}={int(value)} exceeds the i32 index limit "
-            f"{MAX_INDEX}; i32 positions would wrap silently",
+            f"{MAX_INDEX}; i32 positions would wrap silently"
+            + (f". {hint}" if hint else " (see docs/SCALE.md)"),
         )

@@ -69,7 +69,15 @@ def _check_factor_capacity(lnz: int) -> None:
     from ..formats.util import MAX_INDEX
 
     if lnz > MAX_INDEX:
-        raise CapacityError.index_limit("factor nnz", lnz)
+        raise CapacityError.index_limit(
+            "factor nnz",
+            lnz,
+            hint="reduce fill with Ldl().fill_in_reduction('nd') "
+            "(O(n log n) fill on mesh-like problems), or switch to an "
+            "iterative solve — solve(..., method='cg'/'bicgstab') with "
+            "an ILU/IC/block-Jacobi preconditioner needs O(nnz(A)) "
+            "memory (docs/SCALE.md)",
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -459,9 +459,22 @@ def spgemm(
         # would silently wrap (reference analog: SpIndex's "index type
         # is not large enough" panic, sprs/src/indexing.rs:18-46);
         # concrete inputs chunk automatically well before this.
-        raise CapacityError.index_limit("prod_cap", prod_cap)
+        raise CapacityError.index_limit(
+            "prod_cap",
+            prod_cap,
+            hint="pass concrete inputs (the host path row-chunks any "
+            "product count automatically, each chunk under the i32 "
+            "budget), or partition A's rows with slice_outer and "
+            "stitch per-block results (docs/SCALE.md recipe)",
+        )
     if out_cap is not None and out_cap > MAX_INDEX:
-        raise CapacityError.index_limit("out_cap", out_cap)
+        raise CapacityError.index_limit(
+            "out_cap",
+            out_cap,
+            hint="a single CsMat holds at most 2^31-1 entries; keep "
+            "row-block products as separate matrices via slice_outer "
+            "(docs/SCALE.md recipe)",
+        )
     rows, cols, vals, total = _expand_products(a, b, prod_cap)
 
     cap0 = out_cap if out_cap is not None else prod_cap

@@ -49,3 +49,55 @@ class TestI32Guards:
         _check_factor_capacity(2**31 - 1)  # at the limit: fine
         with pytest.raises(CapacityError):
             _check_factor_capacity(2**31)
+
+
+class TestScaleRecipes:
+    """docs/SCALE.md contract: every i32 ceiling names a working escape
+    hatch, and the row-block partition recipe is exact."""
+
+    def test_index_limit_messages_carry_hints(self):
+        from sprs_tpu.linalg.ldl import _check_factor_capacity
+
+        with pytest.raises(CapacityError, match="fill_in_reduction"):
+            _check_factor_capacity(2**31)
+        from sprs_tpu.errors import CapacityError as CE
+
+        e = CE.index_limit("prod_cap", 2**31)
+        assert "SCALE.md" in str(e)
+
+    def test_spgemm_prod_cap_hint(self):
+        import jax
+
+        import sprs_tpu as st
+
+        a = st.from_dense(np.eye(4))
+        with pytest.raises(CapacityError, match="slice_outer"):
+            jax.jit(
+                lambda x, y: st.spgemm(x, y, prod_cap=2**31 + 1)
+            ).lower(a, a)
+
+    def test_row_block_partition_recipe(self):
+        # the SCALE.md §2 recipe at miniature scale: row-block products
+        # equal the single-call result, blockwise spmv is exact
+        import sprs_tpu as st
+
+        rng = np.random.default_rng(3)
+        da = rng.normal(size=(9, 7)) * (rng.random((9, 7)) < 0.4)
+        db = rng.normal(size=(7, 8)) * (rng.random((7, 8)) < 0.4)
+        a, b = st.from_dense(da), st.from_dense(db)
+        full = np.asarray(st.spgemm(a, b).to_dense())
+        cuts = [(0, 4), (4, 9)]
+        blocks = [
+            st.spgemm(a.slice_outer(r0, r1), b) for r0, r1 in cuts
+        ]
+        stacked = np.concatenate(
+            [np.asarray(c.to_dense()) for c in blocks], axis=0
+        )
+        np.testing.assert_allclose(stacked, full, rtol=1e-6)
+        x = rng.normal(size=8)
+        y_blocks = np.concatenate(
+            [np.asarray(st.spmv(c, x)) for c in blocks]
+        )
+        np.testing.assert_allclose(
+            y_blocks, full @ x, rtol=1e-5
+        )
