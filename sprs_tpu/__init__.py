@@ -8,6 +8,23 @@ factorization with fill-reducing ordering, BiCGSTAB, Matrix Market IO,
 and reproducible random generation — all as statically-shaped,
 capacity-padded pytrees that compile once and serve any nnz up to
 capacity, scaling over device meshes with shard_map.
+
+Example (executed by tests/test_doctests.py — the reference ships
+doctests throughout, e.g. csmat.rs:195-206):
+
+>>> import numpy as np
+>>> import sprs_tpu as st
+>>> a = st.from_dense(np.array([[1.0, 0.0, 2.0],
+...                             [0.0, 0.0, 3.0],
+...                             [4.0, 5.0, 6.0]]))
+>>> a.nnz
+6
+>>> np.asarray(st.spmv(a, np.ones(3))).tolist()
+[3.0, 3.0, 15.0]
+>>> c = st.spgemm(a, a)
+>>> np.allclose(np.asarray(c.to_dense()),
+...             np.asarray(a.to_dense()) @ np.asarray(a.to_dense()))
+True
 """
 
 from . import io, linalg, ops, utils

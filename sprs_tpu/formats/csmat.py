@@ -973,6 +973,14 @@ def from_dense(arr, *, eps: float = 0.0, storage: str = CSR, cap=None) -> CsMat:
     sort above ~10^8 elements crashes the TPU worker, while the cumsum
     path handles the 225M-element dense results of the densified-MXU
     SpGEMM route (ops/spgemm.py::spgemm_dense).
+
+    >>> import numpy as np
+    >>> from sprs_tpu import from_dense
+    >>> m = from_dense(np.array([[0.0, 2.0], [3.0, 0.0]]))
+    >>> m.nnz
+    2
+    >>> np.asarray(m.to_dense()).tolist()
+    [[0.0, 2.0], [3.0, 0.0]]
     """
     arr = jnp.asarray(arr)
     if arr.ndim != 2:

@@ -58,6 +58,20 @@ def bicgstab(
     on the original residual, search directions pass through M⁻¹ — e.g.
     :class:`sprs_tpu.linalg.Ilu0`).  Beyond the reference surface, which
     is unpreconditioned (bicgstab.rs:95-112).
+
+    Doctest (mirrors the reference's executable example,
+    bicgstab.rs:27-68):
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> from sprs_tpu.linalg import bicgstab
+    >>> a = st.from_dense(np.array([[4.0, 1.0], [1.0, 3.0]]))
+    >>> res = bicgstab(a, np.array([1.0, 2.0]), tol=1e-6)
+    >>> bool(res.converged)
+    True
+    >>> np.allclose(np.asarray(res.x), [1.0 / 11.0, 7.0 / 11.0],
+    ...             atol=1e-5)
+    True
     """
     from ._dispatch import as_matvec
 

@@ -790,7 +790,19 @@ FILL_ND = "nd"  # nested dissection — balanced etree for batched schedules
 
 @dataclasses.dataclass
 class Ldl:
-    """Builder: Ldl().fill_in_reduction('rcm').numeric(mat).solve(b)."""
+    """Builder: Ldl().fill_in_reduction('rcm').numeric(mat).solve(b).
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> from sprs_tpu.linalg import Ldl
+    >>> a = st.from_dense(np.array([[4.0, 1.0, 0.0],
+    ...                             [1.0, 3.0, 1.0],
+    ...                             [0.0, 1.0, 2.0]]))
+    >>> num = Ldl().fill_in_reduction('rcm').numeric(a)
+    >>> x = np.asarray(num.solve(np.array([5.0, 5.0, 3.0])))
+    >>> np.allclose(x, [1.0, 1.0, 1.0], atol=1e-5)
+    True
+    """
 
     check_symmetry_flag: bool = True
     check_perm_flag: bool = True

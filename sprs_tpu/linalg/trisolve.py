@@ -541,6 +541,13 @@ def lsolve(
     explode).  ``window`` statically bounds the scan method's per-row
     width under jit (without it a traced input costs O(n·cap)); rows
     wider than the window NaN-poison their component.
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> from sprs_tpu.linalg import lsolve
+    >>> l = st.from_dense(np.array([[2.0, 0.0], [1.0, 4.0]]))
+    >>> np.asarray(lsolve(l, np.array([2.0, 9.0]))).tolist()
+    [1.0, 2.0]
     """
     return _trisolve(
         mat, b, lower=True, method=method, schedule=schedule, window=window

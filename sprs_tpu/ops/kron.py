@@ -18,6 +18,15 @@ from ..formats.util import compress_coo, is_concrete
 def kronecker_product(
     a: CsMat, b: CsMat, *, out_cap: Optional[int] = None
 ) -> CsMat:
+    """Sparse Kronecker product A ⊗ B (kronecker.rs surface).
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> a = st.from_dense(np.array([[1.0, 2.0]]))
+    >>> b = st.from_dense(np.array([[0.0, 3.0]]))
+    >>> np.asarray(st.kronecker_product(a, b).to_dense()).tolist()
+    [[0.0, 3.0, 0.0, 6.0]]
+    """
     a_csr, b_csr = a.to_csr(), b.to_csr()
     ra, ca, va = a_csr.coo_arrays()
     rb, cb, vb = b_csr.coo_arrays()
