@@ -253,6 +253,15 @@ class CsVec:
             n_inner=self.dim,
             out_cap=out_cap,
         )
+        if is_concrete(res.required_nnz) and int(res.required_nnz) > out_cap:
+            from ..errors import CapacityError
+
+            raise CapacityError(
+                int(res.required_nnz),
+                out_cap,
+                f"CsVec binop union has {int(res.required_nnz)} entries "
+                f"but out_cap={out_cap}; pass a larger out_cap",
+            )
         out = op(res.values[0], res.values[1])
         out = jnp.where(
             valid_mask(out_cap, res.nnz), out, jnp.zeros((), out.dtype)

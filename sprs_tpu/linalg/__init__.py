@@ -1,6 +1,6 @@
 """Solvers: triangular solves, LDLᵀ factorization, orderings, iterative methods."""
 
-from .bicgstab import BiCgStabResult, bicgstab
+from .bicgstab import BiCgStabResult, bicgstab, bicgstab_sparse
 from .cg import CgResult, cg
 from .expm import expm_multiply
 from .gmres import GmresResult, gmres
@@ -50,6 +50,7 @@ from .trisolve import (
 __all__ = [
     "BiCgStabResult",
     "bicgstab",
+    "bicgstab_sparse",
     "CgResult",
     "cg",
     "Ic0",

@@ -192,3 +192,133 @@ def bicgstab(
         iterations=out["it"],
         residual_norm=res_norm,
     )
+
+
+def _with_cap(v: CsVec, cap: int) -> CsVec:
+    """Re-pad a CsVec to static capacity ``cap`` (loud on overflow)."""
+    if v.cap == cap:
+        return v
+    from ..errors import CapacityError
+    from ..formats.util import is_concrete
+
+    if is_concrete(v.nnz_arr) and int(v.nnz) > cap:
+        raise CapacityError(int(v.nnz), cap)
+    idx = jnp.zeros((cap,), v.indices.dtype)
+    dat = jnp.zeros((cap,), v.data.dtype)
+    k = min(v.cap, cap)
+    idx = idx.at[:k].set(v.indices[:k])
+    dat = dat.at[:k].set(v.data[:k])
+    return CsVec(idx, dat, v.nnz_arr, v.dim)
+
+
+def bicgstab_sparse(
+    mat: CsMat,
+    b: CsVec,
+    x0: CsVec = None,
+    *,
+    cap: int = None,
+    tol: float = 1e-8,
+    max_iter: int = 200,
+    restart_eps: float = 1e-30,
+) -> BiCgStabResult:
+    """Sparse-unknown BiCGSTAB: x, r, p, v, s, t stay :class:`CsVec`.
+
+    The reference iterates CsVec unknowns and grows their storage as
+    support fills in (bicgstab.rs:95-112).  A traced loop cannot
+    reallocate, so the TPU-native contract is a STATIC iterate capacity
+    ``cap`` (default: the dimension — always safe): every merge,
+    scale, and sparse matvec produces capacity-``cap`` vectors, the
+    helper kernels compile once per cap, and support outgrowing ``cap``
+    raises :class:`CapacityError` loudly (docs/SCALE.md discipline)
+    instead of silently densifying.
+
+    Host-driven eager loop with the same two safeguards as the dense
+    path (soft restart on rho-breakdown, hard restart verifying the
+    TRUE residual before convergence — bicgstab.rs:162-193).  The
+    jitted dense-unknown :func:`bicgstab` is the production path; this
+    exists for the sparse-iterate capability and for problems whose
+    Krylov iterates genuinely stay sparse (e.g. localized right-hand
+    sides on short horizons).
+    """
+    from ..ops import matmul
+
+    if not isinstance(b, CsVec):
+        raise ShapeError("bicgstab_sparse needs a CsVec rhs")
+    if mat.shape[0] != mat.shape[1] or mat.shape[1] != b.dim:
+        raise ShapeError(f"bicgstab_sparse: {mat.shape} @ ({b.dim},)")
+    n = b.dim
+    if cap is None:
+        cap = n
+    a = mat.to_csr()
+
+    def mv(v):
+        return _with_cap(
+            matmul(a, v, out_cap=cap, prod_cap=None), cap
+        )
+
+    def lc(u, alpha, v):
+        """u + alpha·v at fixed capacity."""
+        return u._binop(v.scale(alpha), jnp.add, out_cap=cap)
+
+    b = _with_cap(b, cap)
+    b_norm = float(b.l2_norm())
+    threshold = tol * max(b_norm, 1e-300)
+    if x0 is None:
+        from ..formats.csvec import empty_csvec
+
+        x = _with_cap(empty_csvec(n, b.data.dtype), cap)
+        r = b
+    else:
+        x = _with_cap(x0, cap)
+        r = lc(b, -1.0, mv(x))
+    r_hat = r  # frozen shadow residual
+    rho = float(r_hat.dot(r))
+    p = r
+    converged = float(r.l2_norm()) <= threshold
+    it = 0
+    while not converged and it < max_iter:
+        it += 1
+        v = mv(p)
+        denom = float(r_hat.dot(v))
+        if abs(denom) < restart_eps:
+            # soft restart: shadow residual decorrelated
+            r_hat = r
+            rho = float(r_hat.dot(r))
+            p = r
+            v = mv(p)
+            denom = float(r_hat.dot(v))
+            if abs(denom) < restart_eps:
+                break
+        alpha = rho / denom
+        s = lc(r, -alpha, v)
+        t = mv(s)
+        tt = float(t.dot(t))
+        omega = float(t.dot(s)) / tt if tt > 0 else 0.0
+        x = lc(lc(x, alpha, p), omega, s)
+        r = lc(s, -omega, t)
+        if float(r.l2_norm()) <= threshold:
+            # hard restart: verify on the TRUE residual
+            r = lc(b, -1.0, mv(x))
+            if float(r.l2_norm()) <= threshold:
+                converged = True
+                break
+            r_hat = r
+            rho = float(r_hat.dot(r))
+            p = r
+            continue
+        rho_new = float(r_hat.dot(r))
+        if abs(rho_new) < restart_eps:
+            r_hat = r
+            rho_new = float(r_hat.dot(r))
+            p = r
+            rho = rho_new
+            continue
+        beta = (rho_new / rho) * (alpha / omega if omega != 0 else 0.0)
+        p = lc(r, beta, lc(p, -omega, v))
+        rho = rho_new
+    return BiCgStabResult(
+        x=x,
+        converged=bool(converged),
+        iterations=it,
+        residual_norm=float(r.l2_norm()),
+    )

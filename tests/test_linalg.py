@@ -495,3 +495,60 @@ class TestTrisolveWindow:
             )
         )
         assert np.isnan(np.asarray(g(m, b))).any()
+
+
+class TestBicgstabSparse:
+    """Sparse-unknown BiCGSTAB (reference bicgstab.rs:95-112 iterates
+    CsVec x/r/p): static-capacity iterates, loud overflow."""
+
+    def test_matches_dense_solution(self):
+        from sprs_tpu.formats.csvec import csvec_from_dense
+        from sprs_tpu.linalg import bicgstab_sparse
+
+        rng = np.random.default_rng(0)
+        n = 60
+        d = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.1)
+        d = d + np.eye(n) * (np.abs(d).sum(1).max() + 1)
+        a = st.from_dense(d)
+        bd = np.zeros(n)
+        bd[[3, 17, 40]] = [1.0, -2.0, 0.5]
+        res = bicgstab_sparse(a, csvec_from_dense(bd), tol=1e-8)
+        assert res.converged
+        x = np.asarray(res.x.to_dense())
+        np.testing.assert_allclose(x, np.linalg.solve(d, bd), atol=1e-6)
+
+    def test_sparse_support_stays_within_cap(self):
+        # block-diagonal: support never leaves the seeded block, so a
+        # cap far below n suffices — the sparse-iterate payoff case
+        from sprs_tpu.formats.csvec import csvec_from_dense
+        from sprs_tpu.linalg import bicgstab_sparse
+
+        rng = np.random.default_rng(1)
+        blk = rng.normal(size=(8, 8))
+        blk = blk @ blk.T + 8 * np.eye(8)
+        d = np.zeros((64, 64))
+        for i in range(8):
+            d[i * 8 : (i + 1) * 8, i * 8 : (i + 1) * 8] = blk
+        a = st.from_dense(d)
+        bd = np.zeros(64)
+        bd[16:24] = 1.0
+        res = bicgstab_sparse(a, csvec_from_dense(bd), cap=16, tol=1e-10)
+        assert res.converged
+        x = np.asarray(res.x.to_dense())
+        np.testing.assert_allclose(x, np.linalg.solve(d, bd), atol=1e-7)
+        assert int(res.x.nnz) <= 16
+
+    def test_overflow_raises(self):
+        from sprs_tpu.errors import CapacityError
+        from sprs_tpu.formats.csvec import csvec_from_dense
+        from sprs_tpu.linalg import bicgstab_sparse
+
+        rng = np.random.default_rng(2)
+        d = rng.normal(size=(30, 30)) * (rng.random((30, 30)) < 0.3)
+        d = d + 40 * np.eye(30)
+        bd = np.zeros(30)
+        bd[0] = 1.0
+        with pytest.raises(CapacityError):
+            bicgstab_sparse(
+                st.from_dense(d), csvec_from_dense(bd), cap=2, tol=1e-10
+            )
