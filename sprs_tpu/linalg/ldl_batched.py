@@ -474,19 +474,32 @@ def numeric_batched(
     # ---- batched pair update -------------------------------------------
     def _upd_phase(Lp, dext, src, dst, tix):
         Pd = _slice_panels(Lp, off_e[src])  # (Bu, MR, W)
-        Pdpad = jnp.concatenate(
-            [Pd, jnp.zeros((Pd.shape[0], 1, W), dtype)], axis=1
-        )
         Dd = jax.vmap(lambda c: lax.dynamic_slice(dext, (c,), (W,)))(
             c0_e[src]
         )
         Dd = jnp.where(colsW[None, :] < w_e[src][:, None], Dd, 0)
-        rmap = t_rmap[tix]  # (Bu, MR)
-        B = jnp.take_along_axis(Pdpad, rmap[:, :, None], axis=1)
+        rmap = t_rmap[tix]  # (Bu, MR), sentinel row index = MR
+        # clamped gather + mask instead of a zero-row concatenate: the
+        # (Bu, MR+1, W) pad copy was pure HBM traffic (~Bu·MR·W·4 B per
+        # round); masked lanes read row MR-1 and are zeroed exactly
+        # where the pad row was read before
+        B = jnp.where(
+            (rmap < MR)[:, :, None],
+            jnp.take_along_axis(
+                Pd, jnp.minimum(rmap, MR - 1)[:, :, None], axis=1
+            ),
+            0,
+        )
         colmap = jnp.where(
             colsW[None, :] < w_e[dst][:, None], rmap[:, :W], MR
         )
-        G = jnp.take_along_axis(Pdpad, colmap[:, :, None], axis=1)
+        G = jnp.where(
+            (colmap < MR)[:, :, None],
+            jnp.take_along_axis(
+                Pd, jnp.minimum(colmap, MR - 1)[:, :, None], axis=1
+            ),
+            0,
+        )
         G = G * Dd[:, None, :]  # (Bu, W, W)
         U = jnp.einsum("bik,bjk->bij", B, G)  # (Bu, MR, W)
         return (
