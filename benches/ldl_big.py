@@ -44,6 +44,12 @@ def main():
         "scale is O(eps_f32 * MR) ~ 1e-4; 2e-3 leaves a 10-20x margin",
     )
     ap.add_argument(
+        "--no-flat",
+        action="store_true",
+        help="skip the flat-solve timing/cross-check (its 5*lnz "
+        "schedule transfer crashed the TPU worker at lnz=40M)",
+    )
+    ap.add_argument(
         "--host-check",
         default="auto",
         choices=["auto", "on", "off"],
@@ -187,40 +193,10 @@ def main():
     print(f"panel solve: {best*1e3:.2f} ms", flush=True)
     dump()
 
-    # flat O(lnz) stream solve at scale (round-4: first TPU timing of
-    # trisolve method='flat'; schedules are pytree ARGUMENTS)
     from sprs_tpu.linalg.ldl import LdlNumeric
     from sprs_tpu.linalg.trisolve import _flat_solve_csr
 
     num = LdlNumeric(sym, lx, d)
-    try:
-        t0 = time.perf_counter()
-        flat_lo, flat_up = sym.flat_scheds()
-        out["t_flat_sched_s"] = round(time.perf_counter() - t0, 2)
-
-        @jax.jit
-        def run_flat(lc, lt, slo, sup, dv, v):
-            xx = _flat_solve_csr(lc, v / (1.0 + jnp.abs(v[0])), slo)
-            xx = xx / dv
-            return _flat_solve_csr(lt, xx, sup)
-
-        fops = (num.l_csr(), num.lt(), flat_lo, flat_up, num.d)
-        y = run_flat(*fops, b0)
-        _ = float(np.asarray(y)[0])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            v = b0
-            for _ in range(max(args.iters, 3)):
-                v = run_flat(*fops, v)
-            _ = float(np.asarray(v)[0])
-            best = min(best, (time.perf_counter() - t0) / max(args.iters, 3))
-        out["solve_flat_s"] = best
-        print(f"flat solve: {best*1e3:.2f} ms", flush=True)
-    except Exception as e:
-        out["solve_flat_s"] = None
-        print(f"flat solve failed: {e}", flush=True)
-    dump()
 
     # ---- correctness: relative backward error with a pass bar --------
     # (round-4 verdict #2: the raw inf-norm residual at 262k read 122.9
@@ -260,22 +236,53 @@ def main():
     )
     dump()
 
-    # panel solve vs flat solve cross-check (two independent kernels on
-    # the same factor must agree to f32 rounding)
-    try:
-        xf = _flat_solve_csr(num.l_csr(), bb, flat_lo)
-        xf = xf / num.d
-        xf = _flat_solve_csr(num.lt(), xf, flat_up)
-        if sym.perm is not None:
-            xf = xf[jnp.asarray(sym.perm.inv)]
-        dx = float(np.abs(np.asarray(xf, np.float64) - x_np).max())
-        out["flat_vs_panel_inf"] = dx
-        out["flat_vs_panel_rel"] = dx / (np.abs(x_np).max() + 1.0)
-        print(f"flat-vs-panel rel diff {out['flat_vs_panel_rel']:.3e}",
-              flush=True)
-    except Exception as e:
-        print(f"flat cross-check failed: {e}", flush=True)
-    dump()
+    # flat O(lnz) stream solve at scale — AFTER the residual verdict:
+    # the (5·lnz)-element schedule transfer crashed the TPU worker at
+    # lnz=40M (round-4 ldl1024) and must not cost the correctness probe
+    if not args.no_flat:
+        try:
+            t0 = time.perf_counter()
+            flat_lo, flat_up = sym.flat_scheds()
+            out["t_flat_sched_s"] = round(time.perf_counter() - t0, 2)
+
+            @jax.jit
+            def run_flat(lc, lt, slo, sup, dv, v):
+                xx = _flat_solve_csr(lc, v / (1.0 + jnp.abs(v[0])), slo)
+                xx = xx / dv
+                return _flat_solve_csr(lt, xx, sup)
+
+            fops = (num.l_csr(), num.lt(), flat_lo, flat_up, num.d)
+            y = run_flat(*fops, b0)
+            _ = float(np.asarray(y)[0])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = b0
+                for _ in range(max(args.iters, 3)):
+                    v = run_flat(*fops, v)
+                _ = float(np.asarray(v)[0])
+                best = min(
+                    best, (time.perf_counter() - t0) / max(args.iters, 3)
+                )
+            out["solve_flat_s"] = best
+            print(f"flat solve: {best*1e3:.2f} ms", flush=True)
+            # two independent solve kernels must agree to f32 rounding
+            xf = _flat_solve_csr(num.l_csr(), bb, flat_lo)
+            xf = xf / num.d
+            xf = _flat_solve_csr(num.lt(), xf, flat_up)
+            if sym.perm is not None:
+                xf = xf[jnp.asarray(sym.perm.inv)]
+            dx = float(np.abs(np.asarray(xf, np.float64) - x_np).max())
+            out["flat_vs_panel_inf"] = dx
+            out["flat_vs_panel_rel"] = dx / (np.abs(x_np).max() + 1.0)
+            print(
+                f"flat-vs-panel rel diff {out['flat_vs_panel_rel']:.3e}",
+                flush=True,
+            )
+        except Exception as e:
+            out["solve_flat_s"] = None
+            print(f"flat solve failed: {e}", flush=True)
+        dump()
 
     # ---- external f64 baseline + forward-error cross-check -----------
     try:
