@@ -196,10 +196,29 @@ def main():
             [
                 py, "-u", "benches/ldl_big.py",
                 "--grid", "1024", "--fill", "nd", "--kind", "super",
-                "--iters", "2",
+                "--iters", "2", "--no-flat",
                 "--json", os.path.join(OUT, "ldl_1024.json"),
             ],
             4800,
+        ),
+        # round-4 follow-ups (resume skips completed stages above)
+        ("extra_points", [py, "-u", "benches/r4/r4_extra_points.py"], 3600),
+        (
+            "ldl_phase_r4",
+            [
+                py, "-u", "benches/r4/r4_ldl_phase.py",
+                "--grid", "256", "--fill", "nd",
+                "--json", os.path.join(OUT, "ldl_phase_r4.json"),
+            ],
+            2400,
+        ),
+        (
+            "dense_prec",
+            [
+                py, "-u", "benches/r4/r4_dense_prec.py",
+                "--json", os.path.join(OUT, "dense_prec.json"),
+            ],
+            2400,
         ),
     ]
 
