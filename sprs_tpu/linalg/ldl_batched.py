@@ -261,13 +261,19 @@ def _table_owners(table: np.ndarray, off_bounds: np.ndarray, sent: int):
 
 
 def build_round_schedule(
-    plan, *, bu: int = 64, bf: int = 64, ba: int = 8
+    plan, *, bu: int = 128, bf: int = 128, ba: int = 8
 ) -> RoundSchedule:
     """Pack a plan's task stream into batched rounds (host-side).
 
     Works for both ``SuperPlan`` (types 0/1) and ``MfPlan`` (adds type
     2 aggregates).  The stream order is already topological, so one
     forward pass assigns rounds by longest path + capacity.
+
+    Lane-width default: 128 (round-4 geometry sweep, 256² nd within
+    one process: b64 380 ms / b128 278 ms / b256 415 ms — wider lanes
+    amortize the per-round fixed cost until padding lanes' gather
+    traffic dominates; unused lanes are trimmed to the max round
+    occupancy below, so small problems are unaffected).
     """
     t_type = np.asarray(plan.t_type)
     t_src = np.asarray(plan.t_src, dtype=np.int64)
