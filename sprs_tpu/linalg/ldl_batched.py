@@ -261,7 +261,7 @@ def _table_owners(table: np.ndarray, off_bounds: np.ndarray, sent: int):
 
 
 def build_round_schedule(
-    plan, *, bu: int = 128, bf: int = 128, ba: int = 8
+    plan, *, bu: int = None, bf: int = None, ba: int = 8
 ) -> RoundSchedule:
     """Pack a plan's task stream into batched rounds (host-side).
 
@@ -269,12 +269,21 @@ def build_round_schedule(
     2 aggregates).  The stream order is already topological, so one
     forward pass assigns rounds by longest path + capacity.
 
-    Lane-width default: 128 (round-4 geometry sweep, 256² nd within
-    one process: b64 380 ms / b128 278 ms / b256 415 ms — wider lanes
-    amortize the per-round fixed cost until padding lanes' gather
-    traffic dominates; unused lanes are trimmed to the max round
-    occupancy below, so small problems are unaffected).
+    Lane-width default is scale-adaptive (round-4 TPU geometry sweeps):
+    at 65k rows (T=3.5k) width 128 beat 64 by 1.37x (fewer rounds
+    amortize the per-round fixed cost at high occupancy) while 256
+    regressed on padding-lane gather traffic; at 1M rows (T=58k) width
+    128 measured slightly WORSE than 64 (occupancy drops to ~55% and
+    the padded lanes' gather traffic dominates the now-small fixed
+    cost).  Hence 128 for small task streams, 64 past 10k tasks.
+    Unused lanes are trimmed to the max round occupancy either way.
     """
+    if bu is None or bf is None:
+        wide = np.asarray(plan.t_type).shape[0] < 10_000
+        if bu is None:
+            bu = 128 if wide else 64
+        if bf is None:
+            bf = 128 if wide else 64
     t_type = np.asarray(plan.t_type)
     t_src = np.asarray(plan.t_src, dtype=np.int64)
     t_dst = np.asarray(plan.t_dst, dtype=np.int64)
