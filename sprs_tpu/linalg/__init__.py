@@ -1,6 +1,7 @@
 """Solvers: triangular solves, LDLᵀ factorization, orderings, iterative methods."""
 
 from .bicgstab import BiCgStabResult, bicgstab, bicgstab_sparse
+from .refine import refine_solve
 from .cg import CgResult, cg
 from .expm import expm_multiply
 from .gmres import GmresResult, gmres
@@ -51,6 +52,7 @@ __all__ = [
     "BiCgStabResult",
     "bicgstab",
     "bicgstab_sparse",
+    "refine_solve",
     "CgResult",
     "cg",
     "Ic0",
