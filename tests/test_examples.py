@@ -44,3 +44,10 @@ def test_supernodal_refactorization(capsys):
     out = capsys.readouterr().out
     assert "supernodes=" in out
     assert "relative residual" in out  # asserts res < 1e-10 internally
+
+
+def test_mixed_precision_refinement(capsys):
+    run_example("examples/mixed_precision_refinement.py", ["24"])
+    out = capsys.readouterr().out
+    assert "backward error per refinement step" in out
+    assert "f64-class backward error" in out  # asserts < 1e-12 internally
