@@ -412,20 +412,31 @@ def build_round_schedule(
 
 
 def numeric_batched(
-    plan, sched: RoundSchedule, data: jax.Array, *, use_cond: bool = False
+    plan, sched: RoundSchedule, data: jax.Array, *, use_cond: bool = None
 ):
     """Jittable level-batched numeric: same ``(l_data, d)`` CSC-slot
     contract as ``numeric_supernodal``/``numeric_multifrontal`` (NaN
     poisoning on singular inputs — XLA cannot raise).
 
-    ``use_cond=True`` restores the round-3 ``lax.cond`` phase guards.
-    They are OFF by default: the round-3 phase diagnostic
-    (results_r3/ldl_phase.json) measured a round with every phase
-    disabled at the SAME ~10 ms as a full round — the guards' identity
-    branches forced XLA to copy the (P+MRW) panel carry per cond
-    instead of scattering in place.  Every phase is sentinel-masked
-    (exact-zero deltas), so running them unconditionally is equally
-    correct and lets empty rounds cost only their masked-lane traffic."""
+    ``use_cond`` keeps the ``lax.cond`` phase guards.  Default (None)
+    is plan-adaptive, from the round-4 TPU phase diagnostics measured
+    within single processes:
+
+    * **SuperPlan (no aggregate buckets): guards OFF.** full ≈
+      cond-guarded ≈ all-disabled (~6 ms/round at 65k) — the cost is
+      the phases' own gather/scatter traffic either way, and the
+      no-cond path is simpler.
+    * **MfPlan (aggregate buckets): guards ON (1.64x).** Each bucket
+      is an extra phase per round and most are empty most rounds;
+      unconditional execution pays every bucket's (Ba, RFb, CF)
+      random gathers every round (full 2.31 s no-cond vs 1.41 s
+      guarded at 65k), so skipping empty buckets beats the guards'
+      carry-copy overhead.
+
+    Every phase is sentinel-masked (exact-zero deltas), so both modes
+    are exact; only commutative-add order differs."""
+    if use_cond is None:
+        use_cond = len(getattr(plan, "bmaps", ())) > 0
     n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
     MRW = MR * W
     dtype = data.dtype
