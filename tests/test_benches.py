@@ -45,3 +45,17 @@ def test_scaling_bench_dryrun(n_dev):
     assert comm["bgather_remote_blocks"] <= comm["allgather_remote_blocks"]
     assert comm["bgather_bytes_per_dev"] <= comm["allgather_bytes_per_dev"]
     assert 0.0 <= comm["comm_fraction"] <= 1.0
+
+
+def test_bench_scripts_compile():
+    """Every bench script must at least be syntactically valid — a
+    syntax error in a battery stage otherwise burns a hardware window
+    (round-2 lost one to an import error)."""
+    import pathlib
+    import py_compile
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    scripts = list((root / "benches").rglob("*.py"))
+    assert len(scripts) > 10
+    for p in scripts:
+        py_compile.compile(str(p), doraise=True)
