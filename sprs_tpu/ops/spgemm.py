@@ -391,6 +391,7 @@ def spgemm(
     check_capacity: bool = True,
     sort_batches=None,
     method: str = "esc",
+    precision: str = "highest",
 ) -> CsMat:
     """C = A @ B for sparse A, B.
 
@@ -407,11 +408,16 @@ def spgemm(
     partial-product count clears the measured MXU break-even and the
     dense temporaries fit — NOTE the dense path's pattern is the
     numerical nonzero pattern (exact-cancellation entries dropped).
+
+    ``precision`` (dense/auto-dense path only): ``'highest'`` keeps
+    f32 MXU passes; ``'default'`` allows bf16 passes — measured 5x on
+    the bare matmul (407→81 ms, 139 TFLOP/s at the 140M-product
+    shape) at ~2.4e-3 relative error (results_r4/dense_prec.json).
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")
     if method == "dense":
-        return spgemm_dense(a, b, out_cap=out_cap)
+        return spgemm_dense(a, b, out_cap=out_cap, precision=precision)
     if method not in ("esc", "auto"):
         raise ValueError(f"unknown spgemm method {method!r}")
     if a.is_csc:
@@ -423,6 +429,7 @@ def spgemm(
             prod_cap=prod_cap,
             check_capacity=check_capacity,
             method=method,
+            precision=precision,
         ).T
     b = b.to_csr()
 
@@ -446,7 +453,9 @@ def spgemm(
             if fits and exact >= AUTO_DENSE_PRODUCTS_PER_MAC * (
                 float(m) * k * n
             ):
-                return spgemm_dense(a, b, out_cap=out_cap)
+                return spgemm_dense(
+                    a, b, out_cap=out_cap, precision=precision
+                )
         if exact > CHUNK_PRODUCT_BUDGET:
             return _spgemm_chunked(a, b, CHUNK_PRODUCT_BUDGET)
         prod_cap = max(exact, 1)
