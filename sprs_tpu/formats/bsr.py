@@ -305,3 +305,83 @@ def bsr_random(
     return bsr_from_dense(
         dense[: shape[0], : shape[1]], bs, dtype=dtype
     )
+
+
+def bsr_from_dense_device(
+    arr: jax.Array,
+    block_size: int = 128,
+    *,
+    eps: float = 0.0,
+) -> BsrMat:
+    """Device-side dense → BSR: the scatter-free compaction path.
+
+    `from_dense` (CSR) places every nonzero individually and tops out
+    at the TPU's ~50M elem/s scatter-unit rate — 2.0 s for the 104M-nnz
+    dense-SpGEMM product (BASELINE.md round 4).  Block extraction has
+    no per-element placement: the block mask is a reduction, and the
+    kept blocks are ONE gather of contiguous (bs·bs)-element slices —
+    one gather index per 16K elements at bs=128, so the whole
+    conversion runs at HBM bandwidth.
+
+    Concrete-only (the live block list must be fetched to pick static
+    shapes); the transfer is the tiny (nbr·nbc) block mask, never the
+    dense array.  Rows/cols are zero-padded up to a block multiple;
+    empty block rows get the explicit zero block the SpMM kernels
+    require.
+    """
+    if arr.ndim != 2:
+        raise ShapeError("bsr_from_dense_device expects a 2-D array")
+    r, c = arr.shape
+    bs = block_size
+    nbr, nbc = _round_up(r, bs) // bs, _round_up(c, bs) // bs
+
+    @jax.jit
+    def _tiles_and_mask(a):
+        pad = jnp.zeros((nbr * bs, nbc * bs), a.dtype)
+        pad = pad.at[:r, :c].set(a)
+        t = pad.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
+        keep = jnp.abs(t).max(axis=(2, 3)) > eps
+        return t.reshape(nbr * nbc, bs, bs), keep
+
+    tiles, keep = _tiles_and_mask(arr)
+    keep_h = np.asarray(keep)  # (nbr, nbc) bools — the only transfer
+
+    brows, bcols, flat_ids = [], [], []
+    for i in range(nbr):
+        cols_i = np.nonzero(keep_h[i])[0]
+        if cols_i.size == 0:
+            # explicit zero block: gather block (i, 0) and zero it below
+            cols_i = np.array([0])
+            zero_row = True
+        else:
+            zero_row = False
+        brows.append(np.full(cols_i.shape, i, dtype=np.int32))
+        bcols.append(cols_i.astype(np.int32))
+        ids = (i * nbc + cols_i).astype(np.int32)
+        if zero_row:
+            ids = -ids - 1  # mark for zeroing (any block works)
+        flat_ids.append(ids)
+    brows = np.concatenate(brows)
+    bcols = np.concatenate(bcols)
+    flat_ids = np.concatenate(flat_ids)
+    live = flat_ids >= 0
+    gather_ids = np.where(live, flat_ids, -flat_ids - 1)
+    n_blocks = brows.shape[0]
+
+    @jax.jit
+    def _gather(t, ids, live_mask):
+        out = t[ids]
+        return out * live_mask[:, None, None].astype(t.dtype)
+
+    blocks = _gather(
+        tiles,
+        jnp.asarray(gather_ids, INDEX_DTYPE),
+        jnp.asarray(live),
+    )
+    return BsrMat(
+        jnp.asarray(brows, INDEX_DTYPE),
+        jnp.asarray(bcols, INDEX_DTYPE),
+        blocks,
+        (r, c),
+        int(n_blocks),
+    )

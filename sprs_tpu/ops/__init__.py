@@ -34,7 +34,7 @@ from .permutation import (
     transform_mat_paq,
 )
 from .prod import dense_matmul_sparse, prepare_spmm, prepare_spmv, spmm, spmv
-from .spgemm import spgemm, spgemm_dense
+from .spgemm import spgemm, spgemm_dense, spgemm_dense_bsr
 from .symmetry import is_symmetric
 from . import pallas
 
@@ -50,6 +50,7 @@ __all__ = [
     "prepare_spmv",
     "spgemm",
     "spgemm_dense",
+    "spgemm_dense_bsr",
     "dense_matmul_sparse",
     "csmat_binop",
     "mul_elementwise",

@@ -663,3 +663,90 @@ def _dense_prod(am, bm, *, prec):
     return jnp.matmul(
         ad, bd, precision=prec, preferred_element_type=acc
     ).astype(out)
+
+
+def spgemm_dense_bsr(
+    a: CsMat,
+    b: CsMat,
+    *,
+    block_size: int = 128,
+    eps: float = 0.0,
+    precision: str = "highest",
+) -> "BsrMat":
+    """C = A @ B on the MXU with a BLOCK-SPARSE result — the
+    compaction-free dense route.
+
+    ``spgemm_dense``'s wall is `from_dense`: per-element CSR placement
+    at the ~50M elem/s scatter-unit rate (2.0 s for the 104M-nnz
+    140M-product bench point, BASELINE.md round 4).  Emitting
+    :class:`BsrMat` instead needs no per-element placement at all —
+    the block mask is a reduction and block extraction is one
+    contiguous-slice gather — so the whole product runs at
+    matmul + bandwidth cost.  The result plugs straight into the
+    MXU SpMM kernels (``bsr_spmm_xla`` / the Pallas grouped matmul)
+    for chained products.
+
+    Pattern semantics match ``spgemm_dense`` (numerical-nonzero, at
+    block granularity: a block survives iff it has any |entry| > eps).
+    Concrete-only (block list is fetched to fix static shapes).
+    A-row chunking (aligned to ``block_size``) keeps the dense
+    temporaries under ``DENSE_BYTES_BUDGET``; a k·n dense B beyond the
+    budget is rejected — use ``spgemm``'s ESC/chunked path there.
+    """
+    import numpy as np
+
+    from ..formats.bsr import BsrMat, bsr_from_dense_device
+
+    if a.cols != b.rows:
+        raise ShapeError(f"spgemm_dense_bsr: {a.shape} @ {b.shape}")
+    a = a.to_csr()
+    m, k = a.shape
+    n = b.cols
+    if not is_concrete(a.indptr, a.indices, b.indptr):
+        raise ValueError("spgemm_dense_bsr requires concrete inputs")
+    itemsize = jnp.result_type(a.data.dtype, b.data.dtype).itemsize
+    if k * n * itemsize > DENSE_BYTES_BUDGET // 2:
+        raise CapacityError(
+            int(k * n * itemsize),
+            DENSE_BYTES_BUDGET // 2,
+            "spgemm_dense_bsr: dense B alone exceeds the byte budget; "
+            "use spgemm (ESC/chunked) or chunk B's columns by hand",
+        )
+    dense_bytes = (m * k + k * n + m * n) * itemsize
+    if dense_bytes > DENSE_BYTES_BUDGET:
+        fixed = k * n * itemsize
+        rows_per = max(
+            int((DENSE_BYTES_BUDGET - fixed) // ((k + n) * itemsize)),
+            block_size,
+        )
+        rows_per -= rows_per % block_size
+        rows_per = max(rows_per, block_size)
+        if rows_per < m:
+            parts = [
+                spgemm_dense_bsr(
+                    a.slice_outer(r0, min(r0 + rows_per, m)),
+                    b,
+                    block_size=block_size,
+                    eps=eps,
+                    precision=precision,
+                )
+                for r0 in range(0, m, rows_per)
+            ]
+            # vstack of BSR: block rows offset by each part's extent
+            brows, bcols, blocks = [], [], []
+            off = 0
+            for p, r0 in zip(parts, range(0, m, rows_per)):
+                nb = p.n_blocks
+                brows.append(np.asarray(p.brows)[:nb] + off)
+                bcols.append(np.asarray(p.bcols)[:nb])
+                blocks.append(p.blocks[:nb])
+                off += -(-p.shape[0] // block_size)
+            return BsrMat(
+                jnp.asarray(np.concatenate(brows), INDEX_DTYPE),
+                jnp.asarray(np.concatenate(bcols), INDEX_DTYPE),
+                jnp.concatenate(blocks, axis=0),
+                (m, n),
+                int(sum(p.n_blocks for p in parts)),
+            )
+    c = _dense_prod(a, b, prec=precision)
+    return bsr_from_dense_device(c, block_size, eps=eps)

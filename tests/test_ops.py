@@ -701,3 +701,79 @@ class TestSpgemmBatchedSort:
             )
         finally:
             sg.SORT_BATCH_MIN = old
+
+
+class TestSpgemmDenseBsr:
+    """Block-sparse dense-SpGEMM output: the compaction-free route
+    (dense->CSR placement is scatter-unit bound at ~50M elem/s on TPU,
+    BASELINE.md round 4; block extraction is reductions + one
+    contiguous-slice gather)."""
+
+    def test_matches_dense_oracle(self):
+        from sprs_tpu.formats import bsr_spmm_xla
+        from sprs_tpu.ops import spgemm_dense_bsr
+
+        rng = np.random.default_rng(0)
+        for (m, k, n), bs in (((300, 200, 260), 128), ((50, 60, 40), 16)):
+            da = (
+                rng.random((m, k)) * (rng.random((m, k)) < 0.05)
+            ).astype(np.float32)
+            db = (
+                rng.random((k, n)) * (rng.random((k, n)) < 0.05)
+            ).astype(np.float32)
+            c = spgemm_dense_bsr(
+                st.from_dense(da), st.from_dense(db), block_size=bs
+            )
+            ref = da @ db
+            got = np.asarray(c.to_dense())[:m, :n]
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+            # the product feeds the BSR SpMM kernels directly
+            ncp = c.to_dense().shape[1]
+            x = rng.random((ncp, 8)).astype(np.float32)
+            y = np.asarray(bsr_spmm_xla(c, x))[:m]
+            np.testing.assert_allclose(y, ref @ x[:n], atol=1e-3)
+
+    def test_row_chunked_branch(self):
+        import importlib
+
+        from sprs_tpu.ops import spgemm_dense_bsr
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(1)
+        old = sg.DENSE_BYTES_BUDGET
+        try:
+            sg.DENSE_BYTES_BUDGET = 1 << 19
+            da = (
+                rng.random((300, 64)) * (rng.random((300, 64)) < 0.2)
+            ).astype(np.float32)
+            db = (
+                rng.random((64, 96)) * (rng.random((64, 96)) < 0.2)
+            ).astype(np.float32)
+            c = spgemm_dense_bsr(
+                st.from_dense(da), st.from_dense(db), block_size=64
+            )
+            got = np.asarray(c.to_dense())[:300, :96]
+            np.testing.assert_allclose(got, da @ db, atol=1e-5)
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
+
+    def test_oversize_b_raises_with_recipe(self):
+        import importlib
+
+        from sprs_tpu.errors import CapacityError
+        from sprs_tpu.ops import spgemm_dense_bsr
+
+        sg = importlib.import_module("sprs_tpu.ops.spgemm")
+        rng = np.random.default_rng(2)
+        old = sg.DENSE_BYTES_BUDGET
+        try:
+            sg.DENSE_BYTES_BUDGET = 1 << 19
+            with pytest.raises(CapacityError, match="chunk"):
+                spgemm_dense_bsr(
+                    st.from_dense(np.eye(64, 512, dtype=np.float32)),
+                    st.from_dense(
+                        rng.random((512, 512)).astype(np.float32)
+                    ),
+                )
+        finally:
+            sg.DENSE_BYTES_BUDGET = old
