@@ -413,6 +413,13 @@ def spgemm(
     f32 MXU passes; ``'default'`` allows bf16 passes — measured 5x on
     the bare matmul (407→81 ms, 139 TFLOP/s at the 140M-product
     shape) at ~2.4e-3 relative error (results_r4/dense_prec.json).
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> a = st.from_dense(np.array([[1.0, 0.0], [2.0, 3.0]]))
+    >>> b = st.from_dense(np.array([[0.0, 4.0], [5.0, 0.0]]))
+    >>> np.asarray(st.spgemm(a, b).to_dense()).tolist()
+    [[0.0, 4.0], [15.0, 8.0]]
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")

@@ -14,6 +14,7 @@ MODULES = [
     "sprs_tpu.linalg.trisolve",
     "sprs_tpu.linalg.ldl",
     "sprs_tpu.ops.kron",
+    "sprs_tpu.ops.spgemm",
     "sprs_tpu.linalg.refine",
 ]
 
