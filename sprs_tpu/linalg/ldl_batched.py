@@ -261,7 +261,12 @@ def _table_owners(table: np.ndarray, off_bounds: np.ndarray, sent: int):
 
 
 def build_round_schedule(
-    plan, *, bu: int = None, bf: int = None, ba: int = 8
+    plan,
+    *,
+    bu: int = None,
+    bf: int = None,
+    ba=None,
+    agg_lane_budget: int = 256 << 20,
 ) -> RoundSchedule:
     """Pack a plan's task stream into batched rounds (host-side).
 
@@ -290,26 +295,45 @@ def build_round_schedule(
     T = t_type.shape[0]
     S = plan.S
     P = plan.P
-    bmaps = getattr(plan, "bmaps", ())
-    nb = len(bmaps)
+    mem_tabs = getattr(plan, "mem_start", ())
+    nb = len(mem_tabs)
     off_bounds = np.concatenate(
         [np.asarray(plan.off, dtype=np.int64), [np.int64(P)]]
     )
 
-    # per-(bucket, slot) member/target supernode lists for aggregates
+    # per-(bucket, slot) member/target supernode lists for aggregates —
+    # owners recovered from the window START positions (a window never
+    # crosses a panel with live lanes, so the start pins the owner)
     mem = [
-        _table_owners(np.asarray(b), off_bounds, P) for b in bmaps
+        _table_owners(np.asarray(b), off_bounds, P) for b in mem_tabs
     ]
     tgt = [
         _table_owners(np.asarray(a), off_bounds, P)
-        for a in getattr(plan, "aggdsts", ())
+        for a in getattr(plan, "tgt_start", ())
     ]
+
+    # per-bucket aggregate lane width: the phase's round temporaries
+    # (B, U, the column-gathered U windows and the masked update) scale
+    # with RFb² and RFb·(NMb+2·NTb)·AW, so wide lanes on big-row
+    # buckets blow HBM; budget-fit unless the caller pins ``ba``.
+    AW = getattr(plan, "AW", 0)
+    ba_list = []
+    for b in mem_tabs:
+        RFb, NMb = b.shape[1], b.shape[2]
+        if isinstance(ba, int):
+            ba_list.append(ba)
+            continue
+        NTb = getattr(plan, "tgt_start")[len(ba_list)].shape[2]
+        lane_bytes = 4 * (
+            RFb * RFb + RFb * (NMb + 2 * NTb) * AW + RFb * NMb * AW
+        )
+        ba_list.append(int(np.clip(agg_lane_budget // max(lane_bytes, 1), 1, 16)))
 
     fac_round = np.full(S, -1, dtype=np.int64)
     last_write = np.zeros(S, dtype=np.int64)
     pk_u = _Packer(bu)
     pk_f = _Packer(bf)
-    pk_a = [_Packer(ba) for _ in range(nb)]
+    pk_a = [_Packer(ba_list[bi]) for bi in range(nb)]
 
     # the all-MR sentinel rmap row: any factor task's row (never filled)
     fac_rows = np.nonzero(t_type == 1)[0]
@@ -379,7 +403,7 @@ def build_round_schedule(
     agg_slots = []
     agg_cnt = []
     for bi in range(nb):
-        sl = np.full((R, ba), -1, dtype=np.int64)
+        sl = np.full((R, ba_list[bi]), -1, dtype=np.int64)
         cn = np.zeros(R, dtype=np.int32)
         for r, s in zip(a_r[bi], a_slot[bi]):
             k = cn[r]
@@ -428,35 +452,22 @@ def numeric_batched(
       no-cond path is simpler.
     * **MfPlan (aggregate buckets): guards ON (1.64x).** Each bucket
       is an extra phase per round and most are empty most rounds;
-      unconditional execution pays every bucket's (Ba, RFb, CF)
-      random gathers every round (full 2.31 s no-cond vs 1.41 s
-      guarded at 65k), so skipping empty buckets beats the guards'
-      carry-copy overhead.
+      unconditional execution pays every bucket's window gathers every
+      round (full 2.31 s no-cond vs 1.41 s guarded at 65k, measured on
+      the round-4 per-element tables), so skipping empty buckets beats
+      the guards' carry-copy overhead.
 
     Every phase is sentinel-masked (exact-zero deltas), so both modes
     are exact; only commutative-add order differs."""
     if use_cond is None:
-        use_cond = len(getattr(plan, "bmaps", ())) > 0
+        use_cond = len(getattr(plan, "mem_start", ())) > 0
     n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
     MRW = MR * W
     dtype = data.dtype
     if not jnp.issubdtype(dtype, jnp.floating):
         dtype = jnp.result_type(dtype, jnp.float32)
         data = data.astype(dtype)
-    bmaps = [
-        jnp.asarray(b, dtype=INDEX_DTYPE)
-        for b in getattr(plan, "bmaps", ())
-    ]
-    aggdsts = [
-        jnp.asarray(a, dtype=INDEX_DTYPE)
-        for a in getattr(plan, "aggdsts", ())
-    ]
-    colstarts = [
-        jnp.asarray(c, dtype=INDEX_DTYPE)
-        for c in getattr(plan, "colstarts", ())
-    ]
-    nb = len(bmaps)
-    CF = getattr(plan, "CF", 0)
+    nb = len(getattr(plan, "mem_start", ()))
 
     # sentinel-extended geometry: supernode S reads/writes the
     # zero-scratch window [P, P+MRW) with exact-zero deltas
@@ -477,14 +488,14 @@ def numeric_batched(
     )
     t_rmap = jnp.asarray(plan.t_rmap, dtype=INDEX_DTYPE)
 
-    # layout: [0, P) panels | [P, P+MRW) zero-scratch | [P+MRW] dump
-    DUMP = P + MRW
+    # layout: [0, P) panels | [P, P+MRW] zero-scratch (gather sentinel
+    # + masked-zero-add sink for the aggregate windows)
     Lp0 = (
         jnp.zeros((P + MRW + 1,), dtype)
         .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
         .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
     )
-    dext0 = jnp.zeros((n + max(W, CF),), dtype)
+    dext0 = jnp.zeros((n + W,), dtype)
 
     colsW = jnp.arange(W, dtype=INDEX_DTYPE)
     rowsMR = jnp.arange(MR, dtype=INDEX_DTYPE)
@@ -533,34 +544,13 @@ def numeric_batched(
             dext,
         )
 
-    # ---- batched front aggregate (per bucket) ---------------------------
-    def _make_agg_phase(bi):
-        bm_t, ad_t, cs_t = bmaps[bi], aggdsts[bi], colstarts[bi]
-        RFb = bm_t.shape[1]
+    # ---- batched front aggregate (per bucket): window-granular B
+    # gather + MXU Schur + window scatter (ldl_mf.make_agg_phase); the
+    # zero-scratch region [P, P+MRW) doubles as the gather sentinel and
+    # absorbs the masked zero-adds of dead lanes/window overhang.
+    from .ldl_mf import make_agg_phase
 
-        def phase(Lp, dext, slots):
-            live = slots >= 0
-            sl = jnp.maximum(slots, 0)
-            bm = bm_t[sl]  # (Ba, RFb, CF)
-            # table sentinel is P == zero-scratch start: reads are
-            # structural zeros by construction (nothing nonzero is ever
-            # written there)
-            B = Lp[bm]
-            Dv = jax.vmap(
-                lambda c: lax.dynamic_slice(dext, (c,), (CF,))
-            )(cs_t[sl])
-            U = jnp.einsum("bik,bjk->bij", B * Dv[:, None, :], B)
-            U = jnp.where(live[:, None, None], U, 0)
-            ad = ad_t[sl]
-            ad = jnp.where(ad == P, DUMP, ad)  # write sentinel -> dump
-            Lp = Lp.at[ad.reshape(-1)].add(
-                -U.reshape(-1), mode="drop"
-            )
-            return Lp, dext
-
-        return phase
-
-    agg_phases = [_make_agg_phase(bi) for bi in range(nb)]
+    agg_phases = [make_agg_phase(plan, bi) for bi in range(nb)]
 
     def _fac_phase(Lp, dext, s):
         panel = _slice_panels(Lp, off_e[s])  # (Bf, MR, W)

@@ -1,11 +1,12 @@
 """Multifrontal-lite LDLᵀ numeric — subtree-aggregated Schur updates.
 
-Executes docs/MULTIFRONTAL_PLAN.md.  The left-looking supernodal
-numeric (``ldl_super``) applies one (MR, W)·(W, W) update per
-(descendant, target) PAIR; at 262k rows (camd) that is T=141k tasks
-with a fixed (MR=800, W=128) shape regardless of true overlap — the
-pair COUNT times the padded panel shape is the scale wall, and the
-(T, MR) row-map table alone reaches GBs at 10⁶ rows.
+Executes docs/MULTIFRONTAL_PLAN.md (round 5: window-granular tables).
+The left-looking supernodal numeric (``ldl_super``) applies one
+(MR, W)·(W, W) update per (descendant, target) PAIR; at 262k rows
+(camd) that is T=141k tasks with a fixed (MR=800, W=128) shape
+regardless of true overlap — the pair COUNT times the padded panel
+shape is the scale wall, and the (T, MR) row-map table alone reaches
+GBs at 10⁶ rows.
 
 The multifrontal-lite schedule (classic multifrontal's extend-add,
 shaped for XLA's static-shape world):
@@ -26,13 +27,52 @@ shaped for XLA's static-shape world):
   with c inside the front it rides an intra pair — disjoint and
   complete, so the factorization is exact up to summation order.
 
-Scatter volume is Σ_f |R_f|² ≈ true flops / W, tunable by the front
-budget; the (T, MR) pair table shrinks to intra-front pairs only.
+**Window-granular access (round 5).** The round-4 phase diagnostics
+proved per-ELEMENT random gathers/scatters run at the TPU's ~50M
+lookups/s scatter-unit ceiling (~0.2 GB/s effective) while
+window-granular access (``lax.dynamic_slice`` gathers,
+``lax.scatter_add`` with ``update_window_dims``) streams at GB/s —
+the old (F, RF, CF) per-element position tables made the aggregate
+3.5x SLOWER than the pair schedule it replaces despite moving 3.5x
+fewer elements.  All aggregate tables are therefore built at
+AW-contiguous-window granularity (AW | W, so windows never cross a
+panel row-window boundary):
+
+* **B assembly**: member supernodes' columns are cut into AW-wide
+  chunks; B[i, chunk m] is the AW-window at
+  ``off[s_m] + slot(s_m, r_i)·W + k_m·AW`` (panel rows are W-strided,
+  columns contiguous).  Misses (r_i ∉ struct(s_m)) point at the
+  zero-scratch sentinel — panel positions past ``off[S]`` are never
+  written, so the gathered window is exactly 0 and the Schur term
+  vanishes.  Member-pad columns (beyond w_s) hold exact 0 in the
+  panel (the factor kernel masks non-live columns), so padding adds
+  exact zeros regardless of the D window contents.
+* **U scatter**: the target rows r_j of U group by owner supernode t
+  into runs of ascending columns; each run's column span is cut into
+  AW chunks.  For (row i, chunk) the write is ONE AW-window at
+  ``off[t] + rslot(t, r_i)·W + (cbase − c0[t])``; a column-map table
+  places U entries at their in-window positions (span holes and the
+  upper triangle are masked to exact-zero adds — adding 0 anywhere
+  in-bounds is a no-op, which also makes window overhang past w_t
+  safe).  A patternless (r_i, t) pair writes a zero window at the
+  sentinel: U[i,j] ≠ 0 needs a front column k with L[r_i,k], L[r_j,k]
+  both nonzero, and the fill property (r_i, r_j ∈ struct(k),
+  r_i ≥ r_j > k ⇒ r_i ∈ struct(r_j) ⊆ panel-rows(t)) puts every such
+  pair inside the pattern — so the masked-out values are exact zeros.
+
+Table footprint shrinks by ~AW× versus the per-element tables (the
+round-3 1M-row plan's 325M-element tables exceeded the 1<<28 guard;
+the window tables fit), and every device access is a contiguous
+AW-window.
+
+Scatter volume is Σ_f |R_f|² ≈ true flops / W (plus AW-padding),
+tunable by the front budget; the (T, MR) pair table shrinks to
+intra-front pairs only.
 
 Reference numeric this replaces at scale:
 /root/reference/sprs-ldl/src/lib.rs:502-593 (up-looking row
 recurrence); the front aggregation mirrors CHOLMOD/MUMPS-class
-multifrontal assembly trees, re-shaped as static (F, RF, CF) maps.
+multifrontal assembly trees, re-shaped as static window maps.
 """
 
 from __future__ import annotations
@@ -60,9 +100,9 @@ class MfPlan:
     """Static multifrontal-lite schedule (host-precomputed).
 
     Field layout mirrors ``SuperPlan`` (so ``solve_supernodal`` works
-    on either), plus the front-aggregation maps.  Task types: 0 = pair
-    update, 1 = panel factor, 2 = front aggregate (``t_src`` is the
-    front index).
+    on either), plus the window-granular front-aggregation maps.  Task
+    types: 0 = pair update, 1 = panel factor, 2 = front aggregate
+    (``t_src`` is the bucket, ``t_dst`` the slot in the bucket).
     """
 
     n: int
@@ -72,7 +112,7 @@ class MfPlan:
     P: int
     F: int  # number of fronts
     RF: int  # max |R_f| over fronts (diagnostic)
-    CF: int  # max front column count (padded to a multiple of 8)
+    AW: int  # aggregate window width (divides W)
     c0: np.ndarray
     w: np.ndarray
     rows: np.ndarray
@@ -87,12 +127,13 @@ class MfPlan:
     below_ptr: np.ndarray
     below_flat: np.ndarray
     # fronts are BUCKETED by padded row count so the aggregation tables
-    # pay per-bucket, not global, padding: measured 262k camd, global
-    # (F, RFmax, ·) padding costs 15-19 GB while Σ nr² + Σ nr·nc is
-    # ~50M elements — bucket padding lands within ~2x of the exact sum.
-    colstarts: tuple  # per bucket: (F_b,) first global column
-    bmaps: tuple  # per bucket: (F_b, RF_b, CF) positions, sentinel P
-    aggdsts: tuple  # per bucket: (F_b, RF_b, RF_b) positions, sentinel P
+    # pay per-bucket, not global, padding.  All tables are WINDOW
+    # granular: one int32 entry per AW-wide contiguous window.
+    mem_start: tuple  # per bucket: (F_b, RFb, NMb) B window starts, sent P
+    memd_start: tuple  # per bucket: (F_b, NMb) D window starts, sent n
+    tgt_start: tuple  # per bucket: (F_b, RFb, NTb) scatter starts, sent P
+    tgt_lim: tuple  # per bucket: (F_b, RFb, NTb) valid lanes (0 = dead)
+    colmap: tuple  # per bucket: (F_b, NTb, AW) U column index, sent RFb
 
     @property
     def n_tasks(self) -> int:
@@ -100,8 +141,15 @@ class MfPlan:
 
     @property
     def agg_table_elems(self) -> int:
-        return sum(b.size for b in self.bmaps) + sum(
-            a.size for a in self.aggdsts
+        return sum(
+            sum(t.size for t in tab)
+            for tab in (
+                self.mem_start,
+                self.memd_start,
+                self.tgt_start,
+                self.tgt_lim,
+                self.colmap,
+            )
         )
 
     def tree_flatten(self):
@@ -119,9 +167,11 @@ class MfPlan:
             self.csc_gather,
             self.below_ptr,
             self.below_flat,
-            self.colstarts,
-            self.bmaps,
-            self.aggdsts,
+            self.mem_start,
+            self.memd_start,
+            self.tgt_start,
+            self.tgt_lim,
+            self.colmap,
         )
         return leaves, (
             self.n,
@@ -131,13 +181,13 @@ class MfPlan:
             self.P,
             self.F,
             self.RF,
-            self.CF,
+            self.AW,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, S, W, MR, P, F, RF, CF = aux
-        return cls(n, S, W, MR, P, F, RF, CF, *leaves)
+        n, S, W, MR, P, F, RF, AW = aux
+        return cls(n, S, W, MR, P, F, RF, AW, *leaves)
 
 
 def _partition_fronts(pre, parent_col, max_front_cols: int, max_front_rows: int):
@@ -224,6 +274,15 @@ def _partition_fronts(pre, parent_col, max_front_cols: int, max_front_rows: int)
     return np.asarray(fb, dtype=np.int64)
 
 
+def _pick_aw(W: int, agg_window: int) -> int:
+    """Largest divisor of W that is <= agg_window (W is a multiple of
+    8, so 8 always qualifies)."""
+    for cand in (128, 64, 32, 16, 8):
+        if cand <= agg_window and W % cand == 0:
+            return cand
+    return 8 if W % 8 == 0 else W
+
+
 def build_mf_plan(
     sym,
     *,
@@ -236,14 +295,16 @@ def build_mf_plan(
     map_limit: int = 1 << 27,
     agg_limit: int = 1 << 28,
     align: str = "subtree",
+    agg_window: int = 32,
 ) -> MfPlan:
     """Build the multifrontal-lite schedule from an ``LdlSymbolic``.
 
-    ``agg_limit`` bounds the combined (F, RF, CF) + (F, RF, RF)
-    aggregation tables (elements); ``map_limit`` bounds the intra-front
-    (T, MR) pair table as in ``build_super_plan``; ``align='subtree'``
-    cuts supernodes along complete etree subtrees (short batched
-    critical path — see ``supernodes.amalgamate_subtree``).
+    ``agg_limit`` bounds the combined window-table elements;
+    ``map_limit`` bounds the intra-front (T, MR) pair table as in
+    ``build_super_plan``; ``align='subtree'`` cuts supernodes along
+    complete etree subtrees (short batched critical path — see
+    ``supernodes.amalgamate_subtree``); ``agg_window`` is the target
+    aggregate window width (rounded down to a divisor of W).
     """
     pre = _build_prelude(
         sym,
@@ -256,6 +317,7 @@ def build_mf_plan(
     n, S, W, MR, P = pre.n, pre.S, pre.W, pre.MR, pre.P
     of, c0, c1, w = pre.of, pre.c0, pre.c1, pre.w
     bp, bf = pre.below_ptr, pre.below_flat
+    AW = _pick_aw(W, agg_window)
 
     fb = _partition_fronts(
         pre, np.asarray(sym.parent), max_front_cols, max_front_rows
@@ -271,7 +333,6 @@ def build_mf_plan(
 
     # --- per-front distinct below rows at/beyond the front's column
     # end, vectorized: one global unique over (front, row) keys ---------
-    f_colstart = c0[fb[:-1]]
     f_colend = c1[fb[1:] - 1]
     owner_front = front_of[pre.below_owner]
     uk = np.unique(owner_front * np.int64(n) + bf)
@@ -283,9 +344,52 @@ def build_mf_plan(
     nr_arr = np.bincount(fid_r, minlength=F)
     fptr = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(nr_arr, out=fptr[1:])
-    nc_arr = f_colend - f_colstart
     RF = int(nr_arr.max()) if F else 0
-    CF = _ceil8(int(nc_arr.max()))
+
+    # --- member column-chunks (AW-wide, per supernode, grouped by
+    # front since supernodes are contiguous per front) -------------------
+    nch_s = -(-w // AW)  # >= 1
+    mc_s = np.repeat(np.arange(S, dtype=np.int64), nch_s)
+    ch_ptr = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(nch_s, out=ch_ptr[1:])
+    mc_k = np.arange(mc_s.shape[0], dtype=np.int64) - ch_ptr[mc_s]
+    mc_front = front_of[mc_s]
+    nm_arr = np.bincount(mc_front, minlength=F)
+    mptr = np.zeros(F + 1, dtype=np.int64)
+    np.cumsum(nm_arr, out=mptr[1:])
+
+    # --- target runs: rows_cat grouped by owner supernode ---------------
+    owner_r = of[rows_cat]
+    nrows_tot = rows_cat.shape[0]
+    if nrows_tot:
+        new = np.ones(nrows_tot, dtype=bool)
+        new[1:] = (owner_r[1:] != owner_r[:-1]) | (fid_r[1:] != fid_r[:-1])
+        run_id = np.cumsum(new) - 1
+        run_start = np.nonzero(new)[0]
+        nruns = run_start.shape[0]
+        run_len = np.diff(np.append(run_start, nrows_tot))
+        run_fid = fid_r[run_start]
+        run_t = owner_r[run_start]
+        run_clo = rows_cat[run_start]
+        run_chi = rows_cat[run_start + run_len - 1]
+        span = run_chi - run_clo + 1
+        nch_run = -(-span // AW)
+        run_ch0 = np.zeros(nruns + 1, dtype=np.int64)
+        np.cumsum(nch_run, out=run_ch0[1:])
+        tc_run = np.repeat(np.arange(nruns, dtype=np.int64), nch_run)
+        tc_k = np.arange(tc_run.shape[0], dtype=np.int64) - run_ch0[tc_run]
+        tc_fid = run_fid[tc_run]
+        tc_t = run_t[tc_run]
+        tc_cbase = run_clo[tc_run] + tc_k * AW
+        nt_arr = np.bincount(tc_fid, minlength=F)
+    else:
+        run_id = np.zeros(0, dtype=np.int64)
+        run_ch0 = np.zeros(1, dtype=np.int64)
+        run_clo = np.zeros(0, dtype=np.int64)
+        tc_t = tc_cbase = np.zeros(0, dtype=np.int64)
+        nt_arr = np.zeros(F, dtype=np.int64)
+    tptr = np.zeros(F + 1, dtype=np.int64)
+    np.cumsum(nt_arr, out=tptr[1:])
 
     # --- bucket fronts by padded row count (8/16/32, then 64-steps) ----
     emit = nr_arr > 0
@@ -298,16 +402,26 @@ def build_mf_plan(
     ).astype(np.int64)
     bucket_sizes = sorted(set(int(b) for b in bsz[emit]))
     nb = len(bucket_sizes)
-    b_of_size = {b: i for i, b in enumerate(bucket_sizes)}
     fr_bucket = np.full(F, -1, dtype=np.int64)
     fr_slot = np.zeros(F, dtype=np.int64)
+    NM_b = np.zeros(nb, dtype=np.int64)
+    NT_b = np.zeros(nb, dtype=np.int64)
+    fcnt = []
     for bi, b in enumerate(bucket_sizes):
         in_b = emit & (bsz == b)
         fr_bucket[in_b] = bi
         fr_slot[in_b] = np.arange(int(in_b.sum()))
-    fcnt = [int((fr_bucket == bi).sum()) for bi in range(nb)]
+        fcnt.append(int(in_b.sum()))
+        NM_b[bi] = int(nm_arr[in_b].max()) if in_b.any() else 0
+        NT_b[bi] = int(nt_arr[in_b].max()) if in_b.any() else 0
     total_tab = sum(
-        fcnt[bi] * bucket_sizes[bi] * (CF + bucket_sizes[bi])
+        fcnt[bi]
+        * (
+            bucket_sizes[bi] * NM_b[bi]  # mem_start
+            + NM_b[bi]  # memd_start
+            + 2 * bucket_sizes[bi] * NT_b[bi]  # tgt_start + tgt_lim
+            + NT_b[bi] * AW  # colmap
+        )
         for bi in range(nb)
     )
     if total_tab > agg_limit:
@@ -336,66 +450,107 @@ def build_mf_plan(
         j = q % sizes_j[fid_q]
         return fid_q, i, j
 
-    # B[i, j] = L[rows_f[i], cols_f[j]] — every R_f row is at/beyond
-    # the front's column end, so only below-structure membership
-    # applies; misses are structural zeros (gather fills 0, exact by
-    # the padding argument in ldl_super's module docstring).
-    bmaps = [
-        np.full((fcnt[bi], bucket_sizes[bi], CF), P, dtype=np.int32)
+    mem_start = [
+        np.full((fcnt[bi], bucket_sizes[bi], NM_b[bi]), P, dtype=np.int32)
         for bi in range(nb)
     ]
-    aggdsts = [
+    memd_start = [
+        np.full((fcnt[bi], NM_b[bi]), n, dtype=np.int32) for bi in range(nb)
+    ]
+    tgt_start = [
+        np.full((fcnt[bi], bucket_sizes[bi], NT_b[bi]), P, dtype=np.int32)
+        for bi in range(nb)
+    ]
+    tgt_lim = [
+        np.zeros((fcnt[bi], bucket_sizes[bi], NT_b[bi]), dtype=np.int32)
+        for bi in range(nb)
+    ]
+    colmap = [
         np.full(
-            (fcnt[bi], bucket_sizes[bi], bucket_sizes[bi]), P, dtype=np.int32
+            (fcnt[bi], NT_b[bi], AW), bucket_sizes[bi], dtype=np.int32
         )
         for bi in range(nb)
-    ]
-    colstarts = [
-        f_colstart[(fr_bucket == bi)].astype(np.int32) for bi in range(nb)
     ]
     if ef.size:
-        fid_q, i_q, j_q = _grid_queries(nr_arr, nc_arr)
+        # ---- B window starts: (row i, member chunk m) ------------------
+        # every R_f row is at/beyond the front's column end, hence at or
+        # beyond every member's c1 — membership is below-structure only;
+        # misses gather the zero-scratch sentinel (structural zeros).
+        fid_q, i_q, m_q = _grid_queries(nr_arr, nm_arr)
         r_q = rows_cat[fptr[fid_q] + i_q]
-        c_q = f_colstart[fid_q] + j_q
-        s_c = of[c_q]
-        slot, found = pre.member_slot(s_c, r_q)
+        ch = mptr[fid_q] + m_q
+        s_q = mc_s[ch]
+        slot, found = pre.member_slot(s_q, r_q)
         pos = np.where(
-            found, off64[s_c] + slot * W + (c_q - c0[s_c]), P
+            found, off64[s_q] + slot * W + mc_k[ch] * AW, P
         )
         for bi in range(nb):
             m = fr_bucket[fid_q] == bi
-            RFb = bucket_sizes[bi]
-            flat = bmaps[bi].reshape(-1)
+            RFb, NMb = bucket_sizes[bi], int(NM_b[bi])
+            flat = mem_start[bi].reshape(-1)
             flat[
-                fr_slot[fid_q[m]] * (RFb * CF) + i_q[m] * CF + j_q[m]
+                fr_slot[fid_q[m]] * (RFb * NMb) + i_q[m] * NMb + m_q[m]
             ] = pos[m]
 
-        # aggregate targets: (r=rows_f[i], c=rows_f[j]), lower triangle
-        # r >= c, in the panel owning column c.  Patternless pairs get
-        # the drop sentinel: U[i,j] ≠ 0 needs a front column k with
-        # L[r,k], L[c,k] both nonzero, and the fill property (r, c ∈
-        # struct(k), r ≥ c > k ⇒ r ∈ struct(c)) puts every such pair
-        # inside the pattern — a patternless pair's U entry is a
-        # product of exact zeros.
-        fid_q, i_q, j_q = _grid_queries(nr_arr, nr_arr)
-        r_i = rows_cat[fptr[fid_q] + i_q]
-        r_j = rows_cat[fptr[fid_q] + j_q]
-        s_t = of[r_j]
-        in_diag = r_i < c1[s_t]
-        tslot, tfound = pre.member_slot(s_t, r_i)
-        lower = r_i >= r_j
-        rslot = np.where(in_diag, r_i - c0[s_t], tslot)
-        ok = in_diag | tfound
+        # ---- D window starts: (member chunk m) -------------------------
+        # pad columns beyond w_s multiply exact-zero B entries, so the D
+        # window needs no masking; sentinel n reads dext's zero tail.
+        ch_all = np.arange(mc_s.shape[0], dtype=np.int64)
+        m_of_ch = ch_all - mptr[mc_front]
+        dpos = c0[mc_s] + mc_k * AW
+        for bi in range(nb):
+            m = (fr_bucket[mc_front] == bi) & emit[mc_front]
+            NMb = int(NM_b[bi])
+            flat = memd_start[bi].reshape(-1)
+            flat[fr_slot[mc_front[m]] * NMb + m_of_ch[m]] = dpos[m]
+
+        # ---- colmap: in-window position -> U column index --------------
+        if nrows_tot:
+            off_in_run = rows_cat - run_clo[run_id]
+            tc_global = run_ch0[run_id] + off_in_run // AW
+            posw = off_in_run % AW
+            m_local = tc_global - tptr[fid_r]
+            j_local = np.arange(nrows_tot, dtype=np.int64) - fptr[fid_r]
+            for bi in range(nb):
+                m = fr_bucket[fid_r] == bi
+                NTb = int(NT_b[bi])
+                flat = colmap[bi].reshape(-1)
+                flat[
+                    fr_slot[fid_r[m]] * (NTb * AW)
+                    + m_local[m] * AW
+                    + posw[m]
+                ] = j_local[m]
+
+        # ---- scatter window starts + triangle/validity limits ----------
+        # target positions: L[r_i, c] for run columns c in the panel of
+        # t = of[c]; rows within t's diagonal block use rslot = r_i - c0,
+        # below rows use the membership slot.  Patternless (r_i, t)
+        # pairs get lim 0 (their U values are exact zeros — see module
+        # docstring) and the P sentinel.
+        fid_q, i_q, m_q = _grid_queries(nr_arr, nt_arr)
+        r_q = rows_cat[fptr[fid_q] + i_q]
+        tcq = tptr[fid_q] + m_q
+        t_q = tc_t[tcq]
+        cb = tc_cbase[tcq]
+        in_diag = (r_q >= c0[t_q]) & (r_q < c1[t_q])
+        slot, found = pre.member_slot(t_q, r_q)
+        rslot = np.where(in_diag, r_q - c0[t_q], slot)
+        lim = np.where(
+            in_diag,
+            np.clip(r_q - cb + 1, 0, AW),
+            np.where(found & (r_q >= c1[t_q]), AW, 0),
+        )
         pos = np.where(
-            lower & ok, off64[s_t] + rslot * W + (r_j - c0[s_t]), P
+            lim > 0, off64[t_q] + rslot * W + (cb - c0[t_q]), P
         )
         for bi in range(nb):
             m = fr_bucket[fid_q] == bi
-            RFb = bucket_sizes[bi]
-            flat = aggdsts[bi].reshape(-1)
-            flat[
-                fr_slot[fid_q[m]] * (RFb * RFb) + i_q[m] * RFb + j_q[m]
-            ] = pos[m]
+            RFb, NTb = bucket_sizes[bi], int(NT_b[bi])
+            flatp = tgt_start[bi].reshape(-1)
+            flatl = tgt_lim[bi].reshape(-1)
+            idx = fr_slot[fid_q[m]] * (RFb * NTb) + i_q[m] * NTb + m_q[m]
+            flatp[idx] = pos[m]
+            flatl[idx] = lim[m]
 
     # --- task schedule: per front, per target (updates then factor),
     # then the front's aggregate (skipped when R_f is empty) -------------
@@ -442,7 +597,7 @@ def build_mf_plan(
         P=P,
         F=F,
         RF=RF,
-        CF=CF,
+        AW=AW,
         c0=c0.astype(np.int32),
         w=w.astype(np.int32),
         rows=pre.rows.astype(np.int32),
@@ -458,10 +613,74 @@ def build_mf_plan(
         below_flat=np.concatenate(
             [bf, np.full(MR, n, dtype=np.int64)]
         ).astype(np.int32),
-        colstarts=tuple(colstarts),
-        bmaps=tuple(bmaps),
-        aggdsts=tuple(aggdsts),
+        mem_start=tuple(mem_start),
+        memd_start=tuple(memd_start),
+        tgt_start=tuple(tgt_start),
+        tgt_lim=tuple(tgt_lim),
+        colmap=tuple(colmap),
     )
+
+
+def make_agg_phase(plan, bi: int):
+    """The bucket-``bi`` aggregate as a batched phase
+    ``(Lp, dext, slots) -> (Lp, dext)`` over slot lanes (sentinel -1).
+
+    Shared by the scan numeric (one lane) and the level-batched
+    numeric (``ldl_batched``).  ``Lp`` must expose >= AW readable zeros
+    at position P (the zero-scratch region) and accept AW-window
+    scatter_adds anywhere in `[0, P + AW)`; exact-zero adds land on
+    masked lanes, so overlapping/overhanging windows are no-ops there.
+    """
+    AW = plan.AW
+    ms_t = jnp.asarray(plan.mem_start[bi], dtype=INDEX_DTYPE)
+    md_t = jnp.asarray(plan.memd_start[bi], dtype=INDEX_DTYPE)
+    ts_t = jnp.asarray(plan.tgt_start[bi], dtype=INDEX_DTYPE)
+    lm_t = jnp.asarray(plan.tgt_lim[bi], dtype=INDEX_DTYPE)
+    cm_t = jnp.asarray(plan.colmap[bi], dtype=INDEX_DTYPE)
+    RFb, NMb = ms_t.shape[1], ms_t.shape[2]
+    NTb = ts_t.shape[2]
+    posAW = jnp.arange(AW, dtype=INDEX_DTYPE)
+
+    from .ldl_batched import _window_scatter_add
+
+    def _slice_w(arr, starts):
+        return jax.vmap(
+            lambda o: lax.dynamic_slice(arr, (o,), (AW,))
+        )(starts)
+
+    def phase(Lp, dext, slots):
+        live = slots >= 0
+        sl = jnp.maximum(slots, 0)
+        Ba = sl.shape[0]
+        ms = ms_t[sl]  # (Ba, RFb, NMb)
+        B = _slice_w(Lp, ms.reshape(-1)).reshape(Ba, RFb, NMb, AW)
+        Dv = _slice_w(dext, md_t[sl].reshape(-1)).reshape(Ba, 1, NMb, AW)
+        K = NMb * AW
+        U = jnp.einsum(
+            "bik,bjk->bij",
+            (B * Dv).reshape(Ba, RFb, K),
+            B.reshape(Ba, RFb, K),
+        )  # (Ba, RFb, RFb) on the MXU
+        U = jnp.where(live[:, None, None], U, 0)
+        cm = cm_t[sl]  # (Ba, NTb, AW), sentinel RFb
+        cmok = cm < RFb
+        Uw = jnp.take_along_axis(
+            U,
+            jnp.broadcast_to(
+                jnp.minimum(cm, RFb - 1).reshape(Ba, 1, NTb * AW),
+                (Ba, RFb, NTb * AW),
+            ),
+            axis=2,
+        ).reshape(Ba, RFb, NTb, AW)
+        lm = lm_t[sl]  # (Ba, RFb, NTb)
+        upd = jnp.where(
+            cmok[:, None, :, :] & (posAW < lm[..., None]), Uw, 0
+        )
+        ts = ts_t[sl]  # (Ba, RFb, NTb)
+        Lp = _window_scatter_add(Lp, ts.reshape(-1), -upd.reshape(-1, AW))
+        return Lp, dext
+
+    return phase
 
 
 def numeric_multifrontal(plan: MfPlan, data: jax.Array):
@@ -469,7 +688,7 @@ def numeric_multifrontal(plan: MfPlan, data: jax.Array):
     contract as ``numeric_supernodal`` (NaN/Inf poisoning on singular
     inputs; XLA cannot raise)."""
     n, S, W, MR, P = plan.n, plan.S, plan.W, plan.MR, plan.P
-    F, RF, CF = plan.F, plan.RF, plan.CF
+    AW = plan.AW
     dtype = data.dtype
     if not jnp.issubdtype(dtype, jnp.floating):
         dtype = jnp.result_type(dtype, jnp.float32)
@@ -479,58 +698,33 @@ def numeric_multifrontal(plan: MfPlan, data: jax.Array):
     c0_a = jnp.asarray(plan.c0, dtype=INDEX_DTYPE)
     w_a = jnp.asarray(plan.w, dtype=INDEX_DTYPE)
     rows_a = jnp.asarray(plan.rows, dtype=INDEX_DTYPE)
-    colstarts = [
-        jnp.asarray(c, dtype=INDEX_DTYPE) for c in plan.colstarts
-    ]
-    bmaps = [jnp.asarray(b, dtype=INDEX_DTYPE) for b in plan.bmaps]
-    aggdsts = [jnp.asarray(a, dtype=INDEX_DTYPE) for a in plan.aggdsts]
-    nb = len(bmaps)
+    nb = len(plan.mem_start)
 
+    # AW-zero tail past P: the sentinel window [P, P+AW) must gather
+    # exact zeros (dynamic_slice CLAMPS at boundaries, so without the
+    # tail a sentinel would silently read the last real panel).
     Lp0 = (
-        jnp.zeros((P,), dtype)
+        jnp.zeros((P + AW,), dtype)
         .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
         .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
     )
-    # CF slack: the aggregate's D window reads [colstart, colstart+CF)
-    # which can overhang n by up to CF; overhang entries are 0 (unset)
-    dext0 = jnp.zeros((n + max(W, CF),), dtype)
+    dext0 = jnp.zeros((n + max(W, AW),), dtype)
 
     _update, _factor = _panel_kernels(
         off_a, c0_a, w_a, rows_a, W, MR, dtype
     )
 
-    def _make_agg_branch(bi):
-        bm_t, ad_t, cs_t = bmaps[bi], aggdsts[bi], colstarts[bi]
-        RFb = bm_t.shape[1]
-
-        def branch(Lp, dext, slot):
-            z = jnp.zeros((), INDEX_DTYPE)
-            bm = lax.dynamic_slice(bm_t, (slot, z, z), (1, RFb, CF))[0]
-            # sentinel P is out of bounds for the length-P panel array:
-            # gather fills 0 (structural zero), scatter drops.
-            B = Lp.at[bm].get(mode="fill", fill_value=0)
-            Dv = lax.dynamic_slice(dext, (cs_t[slot],), (CF,))
-            # columns of LATER fronts inside the CF window have
-            # dext == 0 at this point in the scan (their factor step
-            # hasn't run), so they contribute nothing even where bm
-            # hits a real position.
-            U = (B * Dv[None, :]) @ B.T  # (RFb, RFb) on the MXU
-            ad = lax.dynamic_slice(ad_t, (slot, z, z), (1, RFb, RFb))[0]
-            return (
-                Lp.at[ad.reshape(-1)].add(-U.reshape(-1), mode="drop"),
-                dext,
-            )
-
-        return branch
-
-    agg_branches = [_make_agg_branch(bi) for bi in range(nb)]
+    agg_phases = [make_agg_phase(plan, bi) for bi in range(nb)]
 
     def _aggregate(Lp, dext, bucket, slot):
         if nb == 0:  # no aggregates anywhere (single front)
             return Lp, dext
+        one = lambda ph: lambda L, de, s: ph(L, de, s[None])
         if nb == 1:
-            return agg_branches[0](Lp, dext, slot)
-        return lax.switch(bucket, agg_branches, Lp, dext, slot)
+            return one(agg_phases[0])(Lp, dext, slot)
+        return lax.switch(
+            bucket, [one(ph) for ph in agg_phases], Lp, dext, slot
+        )
 
     def body(carry, xs):
         Lp, dext = carry
