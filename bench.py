@@ -126,6 +126,75 @@ def main():
     from sprs_tpu.ops.pallas import dia_spmv_pallas, dia_tile
 
     on_tpu = jax.default_backend() == "tpu"
+
+    # --- compiled-Pallas gate (round-5 verdict #7): compile every
+    # production Pallas kernel FOR REAL (not interpret mode, which is
+    # what CI exercises) at a small shape and compare against its XLA
+    # twin.  A Mosaic regression fails loudly here in seconds instead
+    # of silently shipping a wrong or uncompilable kernel.
+    gate = {"ok": None, "kernels": {}}
+    if on_tpu:
+        gate["ok"] = True
+        gdia, _ = _laplacian_dia(64)  # 4096 rows, small & fast
+        gx = jnp.asarray(
+            np.random.default_rng(7).random(gdia.rows, np.float32)
+        )
+        ref = np.asarray(dia_spmv(gdia, gx))
+        gtiled = dia_tile(gdia)
+        checks = {
+            "dia_lag": lambda: dia_spmv_pallas(gdia, gx),
+            "dia_tiled_flatg": lambda: gtiled.spmv(gx),
+            "dia_manual_dma": lambda: gtiled.spmv(
+                gx, variant="manual", depth=4
+            ),
+        }
+        from sprs_tpu.formats.bsr import bsr_random, bsr_spmm_xla
+        from sprs_tpu.ops.pallas import bsr_spmm_pallas
+
+        gb = bsr_random(
+            jax.random.PRNGKey(0), (512, 384), 128, block_density=0.4
+        )
+        gX = jnp.asarray(
+            np.random.default_rng(8).random((384, 128), np.float32)
+        )
+        bref = np.asarray(bsr_spmm_xla(gb, gX))
+        checks["bsr_spmm"] = lambda: bsr_spmm_pallas(gb, gX)
+        refs = {
+            "dia_lag": ref,
+            "dia_tiled_flatg": ref,
+            "dia_manual_dma": ref,
+            "bsr_spmm": bref,
+        }
+        for gname, fn in checks.items():
+            try:
+                got = np.asarray(fn())
+                dmax = float(
+                    np.abs(got - refs[gname]).max()
+                    / (np.abs(refs[gname]).max() + 1e-30)
+                )
+                ok = bool(dmax < 1e-5)
+                gate["kernels"][gname] = {
+                    "ok": ok,
+                    "rel_max_diff": dmax,
+                }
+            except Exception as e:
+                ok = False
+                gate["kernels"][gname] = {
+                    "ok": False,
+                    "error": f"{type(e).__name__}: {str(e)[:160]}",
+                }
+            if not ok:
+                gate["ok"] = False
+                print(
+                    f"# PALLAS GATE FAIL: {gname}: "
+                    f"{gate['kernels'][gname]}",
+                    file=sys.stderr,
+                )
+        print(
+            f"# pallas gate: {'PASS' if gate['ok'] else 'FAIL'} "
+            f"({', '.join(gate['kernels'])})",
+            file=sys.stderr,
+        )
     inner = 24 if on_tpu else 4
     dia, nnz = _laplacian_dia(4096 if on_tpu else 512)
     n = dia.rows
@@ -277,6 +346,7 @@ def main():
             "timing": f"fori_loop x{inner} fused dispatch",
             "backend": jax.default_backend(),
             "trivial_chain_ms": round(health * 1e3, 2),
+            "pallas_gate": gate,
         },
     }
     print(json.dumps(result))

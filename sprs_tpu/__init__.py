@@ -71,7 +71,9 @@ from .ops import (
     permute_cols,
     permute_rows,
     spgemm,
+    spgemm_caps,
     spgemm_dense,
+    spgemm_dense_bsr,
     spmm,
     spmv,
     sub,

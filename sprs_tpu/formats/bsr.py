@@ -112,6 +112,51 @@ class BsrMat:
         )
         return dense[: self.rows, : self.cols]
 
+    def slice_block_rows(self, r0: int, r1: int) -> "BsrMat":
+        """Rows ``[r0, r1)`` as a new BsrMat (bounds must be
+        ``block_size``-aligned except ``r1 == rows``; concrete-only —
+        the surviving block list is fetched to fix static shapes)."""
+        bs = self.block_size
+        if r0 % bs or (r1 % bs and r1 != self.rows):
+            raise ShapeError(
+                f"slice_block_rows bounds ({r0}, {r1}) must align to "
+                f"block_size {bs}"
+            )
+        br = np.asarray(self.brows)[: self.n_blocks]
+        keep = np.nonzero((br >= r0 // bs) & (br < -(-r1 // bs)))[0]
+        nb = keep.size
+        if nb == 0:
+            return BsrMat(
+                jnp.zeros((1,), INDEX_DTYPE),
+                jnp.zeros((1,), INDEX_DTYPE),
+                jnp.zeros((1, bs, bs), self.dtype),
+                (r1 - r0, self.cols),
+                1,
+            )
+        ids = jnp.asarray(keep, INDEX_DTYPE)
+        return BsrMat(
+            jnp.asarray(br[keep] - r0 // bs, INDEX_DTYPE),
+            self.bcols[ids],
+            self.blocks[ids],
+            (r1 - r0, self.cols),
+            int(nb),
+        )
+
+    def to_csmat(self, *, eps: float = 0.0, cap: Optional[int] = None):
+        """CSR view of this block matrix (``from_dense`` on the
+        densified blocks — the expensive exit from the BSR chain: CSR
+        placement is per-element and scatter-unit bound, which is
+        exactly what the BSR product path avoids; convert once at the
+        end of a pipeline, not between products)."""
+        from .csmat import from_dense
+
+        return from_dense(self.to_dense(), eps=eps, cap=cap)
+
+    def __matmul__(self, other):
+        from ..ops import matmul
+
+        return matmul(self, other)
+
     def __repr__(self):
         return (
             f"BsrMat(shape={self.shape}, bs={self.block_size}, "

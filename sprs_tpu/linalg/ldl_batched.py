@@ -488,10 +488,11 @@ def numeric_batched(
     )
     t_rmap = jnp.asarray(plan.t_rmap, dtype=INDEX_DTYPE)
 
-    # layout: [0, P) panels | [P, P+MRW] zero-scratch (gather sentinel
-    # + masked-zero-add sink for the aggregate windows)
+    # layout: [0, P) panels | [P, P+MRW) zero-scratch (gather sentinel
+    # + masked-zero-add sink for the aggregate windows); total length
+    # is a multiple of W, which the aligned aggregate row ops require
     Lp0 = (
-        jnp.zeros((P + MRW + 1,), dtype)
+        jnp.zeros((P + MRW,), dtype)
         .at[jnp.asarray(plan.asm_dst, dtype=INDEX_DTYPE)]
         .add(data[jnp.asarray(plan.asm_src, dtype=INDEX_DTYPE)])
     )

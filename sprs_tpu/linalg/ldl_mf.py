@@ -358,7 +358,12 @@ def build_mf_plan(
     mptr = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(nm_arr, out=mptr[1:])
 
-    # --- target runs: rows_cat grouped by owner supernode ---------------
+    # --- target runs: rows_cat grouped by owner supernode.  Chunk
+    # bases snap to the owner's c0[t] + k*AW grid so every scatter
+    # window start (off[t] + rslot*W + k*AW) is AW-ALIGNED — the
+    # numeric then runs gathers/scatters as row ops on an (len/AW, AW)
+    # 2-D view, the TPU-native full-lane access pattern (costs at most
+    # one extra chunk per run vs span-anchored bases). ------------------
     owner_r = of[rows_cat]
     nrows_tot = rows_cat.shape[0]
     if nrows_tot:
@@ -372,20 +377,22 @@ def build_mf_plan(
         run_t = owner_r[run_start]
         run_clo = rows_cat[run_start]
         run_chi = rows_cat[run_start + run_len - 1]
-        span = run_chi - run_clo + 1
-        nch_run = -(-span // AW)
+        run_k0 = (run_clo - c0[run_t]) // AW
+        run_k1 = (run_chi - c0[run_t]) // AW
+        nch_run = run_k1 - run_k0 + 1
         run_ch0 = np.zeros(nruns + 1, dtype=np.int64)
         np.cumsum(nch_run, out=run_ch0[1:])
         tc_run = np.repeat(np.arange(nruns, dtype=np.int64), nch_run)
         tc_k = np.arange(tc_run.shape[0], dtype=np.int64) - run_ch0[tc_run]
         tc_fid = run_fid[tc_run]
         tc_t = run_t[tc_run]
-        tc_cbase = run_clo[tc_run] + tc_k * AW
+        tc_cbase = c0[run_t[tc_run]] + (run_k0[tc_run] + tc_k) * AW
         nt_arr = np.bincount(tc_fid, minlength=F)
     else:
         run_id = np.zeros(0, dtype=np.int64)
         run_ch0 = np.zeros(1, dtype=np.int64)
-        run_clo = np.zeros(0, dtype=np.int64)
+        run_k0 = np.zeros(0, dtype=np.int64)
+        run_t = np.zeros(0, dtype=np.int64)
         tc_t = tc_cbase = np.zeros(0, dtype=np.int64)
         nt_arr = np.zeros(F, dtype=np.int64)
     tptr = np.zeros(F + 1, dtype=np.int64)
@@ -506,7 +513,8 @@ def build_mf_plan(
 
         # ---- colmap: in-window position -> U column index --------------
         if nrows_tot:
-            off_in_run = rows_cat - run_clo[run_id]
+            base0 = c0[run_t] + run_k0 * AW  # first chunk base per run
+            off_in_run = rows_cat - base0[run_id]
             tc_global = run_ch0[run_id] + off_in_run // AW
             posw = off_in_run % AW
             m_local = tc_global - tptr[fid_r]
@@ -626,35 +634,36 @@ def make_agg_phase(plan, bi: int):
     ``(Lp, dext, slots) -> (Lp, dext)`` over slot lanes (sentinel -1).
 
     Shared by the scan numeric (one lane) and the level-batched
-    numeric (``ldl_batched``).  ``Lp`` must expose >= AW readable zeros
-    at position P (the zero-scratch region) and accept AW-window
-    scatter_adds anywhere in `[0, P + AW)`; exact-zero adds land on
-    masked lanes, so overlapping/overhanging windows are no-ops there.
+    numeric (``ldl_batched``).  Every window start is AW-aligned by
+    construction (panel offsets are multiples of W, target chunk bases
+    snap to the c0 grid), so the B gather and the U scatter run as ROW
+    ops on an ``(len/AW, AW)`` 2-D view — the lane-aligned access
+    pattern the TPU gathers/scatters at full rate, vs per-element maps
+    at the ~50M lookups/s ceiling.  ``Lp`` must be a multiple of AW
+    long with >= AW readable zeros at position P (the zero-scratch
+    sentinel row); masked lanes contribute exact-zero adds, so
+    overlapping windows are no-ops there.
     """
     AW = plan.AW
-    ms_t = jnp.asarray(plan.mem_start[bi], dtype=INDEX_DTYPE)
+    ms_r = jnp.asarray(plan.mem_start[bi] // AW, dtype=INDEX_DTYPE)
     md_t = jnp.asarray(plan.memd_start[bi], dtype=INDEX_DTYPE)
-    ts_t = jnp.asarray(plan.tgt_start[bi], dtype=INDEX_DTYPE)
+    ts_r = jnp.asarray(plan.tgt_start[bi] // AW, dtype=INDEX_DTYPE)
     lm_t = jnp.asarray(plan.tgt_lim[bi], dtype=INDEX_DTYPE)
     cm_t = jnp.asarray(plan.colmap[bi], dtype=INDEX_DTYPE)
-    RFb, NMb = ms_t.shape[1], ms_t.shape[2]
-    NTb = ts_t.shape[2]
+    RFb, NMb = ms_r.shape[1], ms_r.shape[2]
+    NTb = ts_r.shape[2]
     posAW = jnp.arange(AW, dtype=INDEX_DTYPE)
 
-    from .ldl_batched import _window_scatter_add
-
-    def _slice_w(arr, starts):
-        return jax.vmap(
-            lambda o: lax.dynamic_slice(arr, (o,), (AW,))
-        )(starts)
-
     def phase(Lp, dext, slots):
+        assert Lp.shape[0] % AW == 0
         live = slots >= 0
         sl = jnp.maximum(slots, 0)
         Ba = sl.shape[0]
-        ms = ms_t[sl]  # (Ba, RFb, NMb)
-        B = _slice_w(Lp, ms.reshape(-1)).reshape(Ba, RFb, NMb, AW)
-        Dv = _slice_w(dext, md_t[sl].reshape(-1)).reshape(Ba, 1, NMb, AW)
+        Lp2 = Lp.reshape(-1, AW)
+        B = Lp2[ms_r[sl]]  # (Ba, RFb, NMb, AW) aligned row gather
+        Dv = jax.vmap(
+            lambda o: lax.dynamic_slice(dext, (o,), (AW,))
+        )(md_t[sl].reshape(-1)).reshape(Ba, 1, NMb, AW)
         K = NMb * AW
         U = jnp.einsum(
             "bik,bjk->bij",
@@ -676,9 +685,8 @@ def make_agg_phase(plan, bi: int):
         upd = jnp.where(
             cmok[:, None, :, :] & (posAW < lm[..., None]), Uw, 0
         )
-        ts = ts_t[sl]  # (Ba, RFb, NTb)
-        Lp = _window_scatter_add(Lp, ts.reshape(-1), -upd.reshape(-1, AW))
-        return Lp, dext
+        Lp2 = Lp2.at[ts_r[sl].reshape(-1)].add(-upd.reshape(-1, AW))
+        return Lp2.reshape(-1), dext
 
     return phase
 

@@ -34,9 +34,16 @@ from .permutation import (
     transform_mat_paq,
 )
 from .prod import dense_matmul_sparse, prepare_spmm, prepare_spmv, spmm, spmv
-from .spgemm import spgemm, spgemm_dense, spgemm_dense_bsr
+from .spgemm import spgemm, spgemm_caps, spgemm_dense, spgemm_dense_bsr
 from .symmetry import is_symmetric
-from . import pallas
+from . import batch, pallas
+from .batch import (
+    BatchedCsMat,
+    BatchedLdl,
+    batch_spgemm,
+    batch_spmm,
+    batch_spmv,
+)
 
 __all__ = [
     "matmul",
@@ -49,6 +56,7 @@ __all__ = [
     "prepare_spmm",
     "prepare_spmv",
     "spgemm",
+    "spgemm_caps",
     "spgemm_dense",
     "spgemm_dense_bsr",
     "dense_matmul_sparse",
@@ -70,6 +78,11 @@ __all__ = [
     "transform_mat_paq",
     "is_symmetric",
     "assign_to_dense",
+    "BatchedCsMat",
+    "BatchedLdl",
+    "batch_spgemm",
+    "batch_spmm",
+    "batch_spmv",
 ]
 
 
@@ -102,8 +115,32 @@ def _csvec_times_mat(v: CsVec, mat: CsMat, **kw) -> CsVec:
 
 
 def matmul(lhs, rhs, **kw):
-    """Linear-algebra product dispatch (``@`` operator)."""
+    """Linear-algebra product dispatch (``@`` operator).
+
+    BSR operands stay in the MXU-native regime: BSR @ dense runs the
+    grouped block matmul, and sparse products with a BSR side run the
+    compaction-free dense route and RETURN BSR — chained products
+    (e.g. ``(a @ b) @ c`` after ``spgemm(..., out_format='auto')``)
+    never pay the per-element CSR scatter.
+    """
+    from ..formats.bsr import BsrMat, bsr_spmm_xla
+
+    if isinstance(lhs, BsrMat):
+        if isinstance(rhs, (CsMat, BsrMat)):
+            return spgemm_dense_bsr(
+                lhs, rhs, block_size=lhs.block_size, **kw
+            )
+        rhs = jnp.asarray(rhs)
+        if rhs.ndim == 1:
+            return bsr_spmm_xla(lhs, rhs[:, None])[:, 0]
+        if rhs.ndim == 2:
+            return bsr_spmm_xla(lhs, rhs)
+        raise ShapeError(f"matmul: rhs ndim {rhs.ndim} unsupported")
     if isinstance(lhs, CsMat):
+        if isinstance(rhs, BsrMat):
+            return spgemm_dense_bsr(
+                lhs, rhs, block_size=rhs.block_size, **kw
+            )
         if isinstance(rhs, CsMat):
             return spgemm(lhs, rhs, **kw)
         if isinstance(rhs, CsVec):

@@ -195,6 +195,93 @@ def _exact_prod_count(a: CsMat, b: CsMat) -> int:
     return int(b_lens[a_idx].sum()) if a_idx.size else 0
 
 
+def spgemm_caps(a: CsMat, b: CsMat) -> tuple:
+    """Exact ``(prod_cap, out_cap)`` for ``C = A @ B``'s sparsity
+    pattern (host-side symbolic pass).
+
+    The jit contract requires static capacities: a traced ``spgemm``
+    call cannot size its own output (the reference grows the
+    allocation on overflow instead, smmp.rs:81-131).  For pipelines
+    whose PATTERN is fixed while values change (refactorization-style
+    workloads), compute the caps ONCE from concrete pattern arrays,
+    then run ``spgemm(..., prod_cap=p, out_cap=o)`` under jit with
+    impunity — the result is exact, never truncated.
+
+    Uses the native C++ Gustavson count phase when available, with a
+    numpy unique-key fallback (row-chunked to bound host memory).
+
+    >>> import numpy as np
+    >>> import sprs_tpu as st
+    >>> a = st.from_dense(np.array([[1.0, 2.0], [0.0, 3.0]]))
+    >>> st.spgemm_caps(a, a)
+    (3, 3)
+    """
+    import numpy as np
+
+    from .. import native
+
+    a = a.to_csr()
+    b = b.to_csr()
+    if a.cols != b.rows:
+        raise ShapeError(f"spgemm_caps: {a.shape} @ {b.shape}")
+    if not is_concrete(a.indptr, a.indices, b.indptr, b.indices):
+        raise ValueError(
+            "spgemm_caps is the host-side symbolic pass: call it on "
+            "concrete pattern arrays outside jit, then pass the caps in"
+        )
+    prod = _exact_prod_count(a, b)
+    ap = np.asarray(a.indptr, np.int64)
+    ai = np.asarray(a.indices, np.int64)[: int(ap[-1])]
+    bp = np.asarray(b.indptr, np.int64)
+    bi = np.asarray(b.indices, np.int64)[: int(bp[-1])]
+    lib = native.get_lib()
+    if lib is not None:
+        cp = np.zeros(a.rows + 1, np.int32)
+        out = int(
+            lib.sprs_spgemm_count(
+                np.ascontiguousarray(ap, np.int32),
+                np.ascontiguousarray(ai, np.int32),
+                a.rows,
+                np.ascontiguousarray(bp, np.int32),
+                np.ascontiguousarray(bi, np.int32),
+                b.cols,
+                cp,
+            )
+        )
+        return prod, out
+    # numpy fallback: unique (row, col) keys of the expanded products,
+    # chunked at A-row boundaries (no key straddles a chunk, so the
+    # per-chunk unique counts sum exactly)
+    if prod == 0:
+        return 0, 0
+    b_lens = np.diff(bp)
+    lens = b_lens[ai]  # per-A-entry product count
+    ent_cum = np.zeros(ai.size + 1, np.int64)
+    np.cumsum(lens, out=ent_cum[1:])
+    row_of_ent = np.repeat(np.arange(a.rows, dtype=np.int64), np.diff(ap))
+    budget = 1 << 26
+    out = 0
+    e0 = 0
+    while e0 < ai.size:
+        # extend to the last row whose products still fit the budget
+        e_hi = int(
+            np.searchsorted(ent_cum, ent_cum[e0] + budget, side="right") - 1
+        )
+        e_hi = max(e_hi, e0 + 1)
+        r_end = row_of_ent[min(e_hi, ai.size) - 1] + 1
+        e1 = int(ap[r_end])
+        cnt = lens[e0:e1]
+        total = int(ent_cum[e1] - ent_cum[e0])
+        rr = np.repeat(row_of_ent[e0:e1], cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            ent_cum[e0:e1] - ent_cum[e0], cnt
+        )
+        cc = bi[np.repeat(bp[ai[e0:e1]], cnt) + within]
+        out += np.unique(rr * np.int64(b.cols) + cc).size
+        e0 = e1
+    return prod, int(out)
+
+
 # One lax.sort above ~10^8 elements crashes the TPU worker (observed at
 # 140M); row-chunking keeps each device sort safely under that while
 # reusing the whole single-shot path per chunk — the sequential-device
@@ -392,7 +479,8 @@ def spgemm(
     sort_batches=None,
     method: str = "esc",
     precision: str = "highest",
-) -> CsMat:
+    out_format: str = "csr",
+):
     """C = A @ B for sparse A, B.
 
     On concrete inputs, capacities default to exact values and the result
@@ -414,6 +502,16 @@ def spgemm(
     the bare matmul (407→81 ms, 139 TFLOP/s at the 140M-product
     shape) at ~2.4e-3 relative error (results_r4/dense_prec.json).
 
+    ``out_format``: ``'csr'`` (default) always returns a
+    :class:`CsMat`.  ``'auto'`` lets the dense regime return a
+    :class:`~sprs_tpu.formats.bsr.BsrMat` instead — the dense path's
+    wall is the per-element CSR compaction (~2 s at 104M nnz, the
+    scatter-unit ceiling) while block extraction runs at HBM bandwidth
+    (97x measured, BASELINE.md round 4); chained products consume the
+    BSR directly (``matmul`` dispatches it).  ``'bsr'`` forces a BSR
+    result on any path (concrete inputs only; the ESC route converts
+    via ``bsr_from_csmat``).
+
     >>> import numpy as np
     >>> import sprs_tpu as st
     >>> a = st.from_dense(np.array([[1.0, 0.0], [2.0, 3.0]]))
@@ -423,12 +521,34 @@ def spgemm(
     """
     if a.cols != b.rows:
         raise ShapeError(f"spgemm: {a.shape} @ {b.shape}")
+    if out_format not in ("csr", "auto", "bsr"):
+        raise ValueError(f"unknown spgemm out_format {out_format!r}")
     if method == "dense":
+        if out_format in ("auto", "bsr"):
+            return spgemm_dense_bsr(a, b, precision=precision)
         return spgemm_dense(a, b, out_cap=out_cap, precision=precision)
     if method not in ("esc", "auto"):
         raise ValueError(f"unknown spgemm method {method!r}")
+    if out_format == "bsr":
+        from ..formats.bsr import bsr_from_csmat
+
+        c = spgemm(
+            a,
+            b,
+            out_cap=out_cap,
+            prod_cap=prod_cap,
+            check_capacity=check_capacity,
+            sort_batches=sort_batches,
+            method=method,
+            precision=precision,
+            out_format="auto",
+        )
+        return c if not isinstance(c, CsMat) else bsr_from_csmat(c.to_csr())
     if a.is_csc:
         # (A·B) = (Bᵀ·Aᵀ)ᵀ — runs the CSR kernel, returns CSC.
+        # (out_format='auto' degrades to CSR here: the transposed
+        # result would need a BSR transpose; callers wanting BSR from
+        # CSC inputs convert the lhs to CSR first.)
         return spgemm(
             b.T.to_csr(),
             a.T.to_csr(),
@@ -460,6 +580,8 @@ def spgemm(
             if fits and exact >= AUTO_DENSE_PRODUCTS_PER_MAC * (
                 float(m) * k * n
             ):
+                if out_format == "auto":
+                    return spgemm_dense_bsr(a, b, precision=precision)
                 return spgemm_dense(
                     a, b, out_cap=out_cap, precision=precision
                 )
@@ -654,12 +776,21 @@ def spgemm_dense(
     return from_dense(c, eps=eps, cap=out_cap)
 
 
+def _densify_operand(op):
+    """Dense array of a CsMat or BsrMat operand (trace-safe)."""
+    from ..formats.bsr import BsrMat
+
+    if isinstance(op, BsrMat):
+        return op.to_dense()  # contiguous block scatter, HBM-rate
+    return op.to_csr().to_dense()
+
+
 @functools.partial(jax.jit, static_argnames=("prec",))
 def _dense_prod(am, bm, *, prec):
     # module-level jit: repeated spgemm_dense calls reuse the executable.
     # preferred_element_type pins f32-or-wider ACCUMULATION even when
     # precision='default' lets the MXU run bf16 input passes.
-    ad, bd = am.to_dense(), bm.to_csr().to_dense()
+    ad, bd = _densify_operand(am), _densify_operand(bm)
     out = jnp.result_type(ad, bd)
     acc = (
         jnp.float32
@@ -699,6 +830,10 @@ def spgemm_dense_bsr(
     A-row chunking (aligned to ``block_size``) keeps the dense
     temporaries under ``DENSE_BYTES_BUDGET``; a k·n dense B beyond the
     budget is rejected — use ``spgemm``'s ESC/chunked path there.
+
+    Either operand may be a :class:`BsrMat` (a prior dense-regime
+    product): densification is a contiguous block scatter, so chained
+    products never touch per-element CSR compaction.
     """
     import numpy as np
 
@@ -706,12 +841,14 @@ def spgemm_dense_bsr(
 
     if a.cols != b.rows:
         raise ShapeError(f"spgemm_dense_bsr: {a.shape} @ {b.shape}")
-    a = a.to_csr()
+    if isinstance(a, CsMat):
+        a = a.to_csr()
     m, k = a.shape
     n = b.cols
-    if not is_concrete(a.indptr, a.indices, b.indptr):
+    leaves = jax.tree_util.tree_leaves((a, b))
+    if not is_concrete(*leaves):
         raise ValueError("spgemm_dense_bsr requires concrete inputs")
-    itemsize = jnp.result_type(a.data.dtype, b.data.dtype).itemsize
+    itemsize = jnp.result_type(a.dtype, b.dtype).itemsize
     if k * n * itemsize > DENSE_BYTES_BUDGET // 2:
         raise CapacityError(
             int(k * n * itemsize),
@@ -726,12 +863,21 @@ def spgemm_dense_bsr(
             int((DENSE_BYTES_BUDGET - fixed) // ((k + n) * itemsize)),
             block_size,
         )
-        rows_per -= rows_per % block_size
-        rows_per = max(rows_per, block_size)
+        align = block_size
+        if isinstance(a, BsrMat):
+            align = int(np.lcm(block_size, a.block_size))
+        rows_per -= rows_per % align
+        rows_per = max(rows_per, align)
         if rows_per < m:
+
+            def _rows(mat, r0, r1):
+                if isinstance(mat, BsrMat):
+                    return mat.slice_block_rows(r0, r1)
+                return mat.slice_outer(r0, r1)
+
             parts = [
                 spgemm_dense_bsr(
-                    a.slice_outer(r0, min(r0 + rows_per, m)),
+                    _rows(a, r0, min(r0 + rows_per, m)),
                     b,
                     block_size=block_size,
                     eps=eps,

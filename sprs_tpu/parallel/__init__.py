@@ -4,6 +4,7 @@ from .dist import (
     BGatherPlan,
     Dist2DCsMat,
     DistCsMat,
+    PreparedDistSpmv,
     dist_spgemm,
     dist_spgemm_bgather,
     dist_spgemm_bshard,
@@ -11,6 +12,7 @@ from .dist import (
     dist_spmv,
     dist_spmv_2d,
     plan_b_gather,
+    prepare_dist_spmv,
     shard_csr_2d,
     shard_csr_rows,
 )
@@ -43,6 +45,8 @@ __all__ = [
     "dist_spmv",
     "dist_spmv_2d",
     "dist_spmv_halo",
+    "PreparedDistSpmv",
+    "prepare_dist_spmv",
     "shard_csr_2d",
     "shard_csr_rows",
     "shard_csr_rows_halo",

@@ -777,3 +777,152 @@ class TestSpgemmDenseBsr:
                 )
         finally:
             sg.DENSE_BYTES_BUDGET = old
+
+
+class TestBsrProductionDispatch:
+    """Round-5 verdict #2: BSR as the dense-SpGEMM production output —
+    spgemm(out_format=...), matmul over BsrMat operands, and chained
+    products that never touch per-element CSR compaction."""
+
+    def _pair(self, seed=0, m=80, k=70, n=60, density=0.4):
+        rng = np.random.default_rng(seed)
+        da = (rng.random((m, k)) * (rng.random((m, k)) < density)).astype(
+            np.float32
+        )
+        db = (rng.random((k, n)) * (rng.random((k, n)) < density)).astype(
+            np.float32
+        )
+        return da, db
+
+    def test_out_format_auto_dense_regime_returns_bsr(self):
+        from sprs_tpu.formats import BsrMat
+
+        da, db = self._pair(0)
+        c = st.spgemm(
+            st.from_dense(da),
+            st.from_dense(db),
+            method="auto",
+            out_format="auto",
+        )
+        assert isinstance(c, BsrMat)
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, atol=1e-5
+        )
+
+    def test_out_format_bsr_on_esc_path_converts(self):
+        from sprs_tpu.formats import BsrMat
+
+        da, db = self._pair(1, density=0.02)  # ESC regime
+        c = st.spgemm(
+            st.from_dense(da), st.from_dense(db), out_format="bsr"
+        )
+        assert isinstance(c, BsrMat)
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense()), da @ db, atol=1e-5
+        )
+
+    def test_out_format_default_stays_csmat(self):
+        da, db = self._pair(2)
+        c = st.spgemm(st.from_dense(da), st.from_dense(db), method="auto")
+        assert isinstance(c, st.CsMat)
+
+    def test_matmul_chain_stays_bsr(self):
+        from sprs_tpu.formats import BsrMat
+
+        da, db = self._pair(3)
+        dc = (
+            np.random.default_rng(4).random((60, 50))
+            * (np.random.default_rng(5).random((60, 50)) < 0.4)
+        ).astype(np.float32)
+        ab = st.spgemm(
+            st.from_dense(da),
+            st.from_dense(db),
+            method="dense",
+            out_format="bsr",
+        )
+        assert isinstance(ab, BsrMat)
+        # BsrMat @ CsMat and BsrMat @ dense both dispatch
+        abc = ab @ st.from_dense(dc)
+        assert isinstance(abc, BsrMat)
+        np.testing.assert_allclose(
+            np.asarray(abc.to_dense())[:80, :50], da @ db @ dc, atol=1e-4
+        )
+        y = ab @ np.ones(60, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(y)[:80], (da @ db) @ np.ones(60), rtol=1e-4
+        )
+        # exit the chain: to_csmat matches
+        np.testing.assert_allclose(
+            np.asarray(ab.to_csmat().to_dense()), da @ db, atol=1e-5
+        )
+
+    def test_csmat_times_bsr(self):
+        from sprs_tpu.formats import BsrMat, bsr_from_csmat
+
+        da, db = self._pair(6)
+        bb = bsr_from_csmat(st.from_dense(db), block_size=32)
+        c = st.matmul(st.from_dense(da), bb)
+        assert isinstance(c, BsrMat)
+        np.testing.assert_allclose(
+            np.asarray(c.to_dense())[:80, :60], da @ db, atol=1e-5
+        )
+
+    def test_slice_block_rows(self):
+        from sprs_tpu.formats import bsr_from_csmat
+
+        da, _ = self._pair(7)
+        bm = bsr_from_csmat(st.from_dense(da), block_size=16)
+        part = bm.slice_block_rows(16, 48)
+        np.testing.assert_allclose(
+            np.asarray(part.to_dense()), da[16:48], atol=0
+        )
+
+
+class TestSpgemmCaps:
+    """Round-5 verdict #9: the host-side symbolic pass for traced
+    callers (reference analog: SMMP's symbolic phase, smmp.rs:81-131)."""
+
+    def test_exact_caps_against_eager(self):
+        rng = np.random.default_rng(8)
+        da = (rng.random((50, 40)) * (rng.random((50, 40)) < 0.1)).astype(
+            np.float32
+        )
+        db = (rng.random((40, 30)) * (rng.random((40, 30)) < 0.1)).astype(
+            np.float32
+        )
+        a, b = st.from_dense(da), st.from_dense(db)
+        prod, out = st.spgemm_caps(a, b)
+        c = st.spgemm(a, b)  # eager: exact packing
+        assert out == int(c.nnz)
+        # the caps drive an exact jitted product
+        f = jax.jit(
+            lambda aa, bb: st.spgemm(
+                aa, bb, prod_cap=prod, out_cap=out, check_capacity=False
+            )
+        )
+        cj = f(a, b)
+        np.testing.assert_allclose(
+            np.asarray(cj.to_dense()), da @ db, rtol=1e-6, atol=1e-7
+        )
+
+    def test_numpy_fallback_matches_native(self):
+        import sprs_tpu.native as native
+
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable; fallback is the path")
+        rng = np.random.default_rng(9)
+        da = (rng.random((64, 64)) * (rng.random((64, 64)) < 0.15)).astype(
+            np.float32
+        )
+        a = st.from_dense(da)
+        ref = st.spgemm_caps(a, a)
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "get_lib", lambda: None):
+            got = st.spgemm_caps(a, a)
+        assert got == ref
+
+    def test_traced_caller_raises(self):
+        a = st.from_dense(np.eye(4, dtype=np.float32))
+        with pytest.raises(ValueError, match="symbolic"):
+            jax.jit(lambda m: st.spgemm_caps(m, m))(a)

@@ -417,3 +417,57 @@ class TestBlockJacobiLdl:
             np.testing.assert_allclose(
                 np.asarray(res.x), np.ones(n), atol=1e-5
             )
+
+
+class TestPrepareDistSpmv:
+    """Round-5 verdict #6: prepare-time routing — banded partitions take
+    the O(halo) ppermute path, scattered columns fall back to
+    all-gather (byte model: halo ~0.999 vs all-gather ~0.63 weak
+    scaling at 8 devices, results_scaling_virtual8.jsonl)."""
+
+    def test_laplacian_routes_to_halo(self):
+        from sprs_tpu.parallel import prepare_dist_spmv
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        mat = dirichlet_laplacian((16, 8))  # n=128, bandwidth 8
+        prep = prepare_dist_spmv(mat, 4)
+        assert prep.kind == "halo"
+        x = RNG.standard_normal(128)
+        y = np.asarray(prep(x, mesh_1d(4))).reshape(-1)[:128]
+        np.testing.assert_allclose(
+            y, np.asarray(mat.to_dense()) @ x, rtol=1e-8
+        )
+
+    def test_scattered_routes_to_allgather(self):
+        from sprs_tpu.parallel import prepare_dist_spmv
+
+        d = random_sparse(64, 64, density=0.3, seed=21)
+        d[0, 63] = 1.0  # full-reach entry kills any halo bound
+        prep = prepare_dist_spmv(st.from_dense(d), 4)
+        assert prep.kind == "allgather"
+        x = RNG.standard_normal(64)
+        y = np.asarray(prep.dmat.assemble(prep(x, mesh_1d(4))))
+        np.testing.assert_allclose(y, d @ x, rtol=1e-8)
+
+    def test_rectangular_routes_to_allgather(self):
+        from sprs_tpu.parallel import prepare_dist_spmv
+
+        d = random_sparse(40, 24, density=0.2, seed=22)
+        prep = prepare_dist_spmv(st.from_dense(d), 4)
+        assert prep.kind == "allgather"
+
+    def test_prepared_rides_through_jit(self):
+        import jax
+
+        from sprs_tpu.parallel import prepare_dist_spmv
+        from sprs_tpu.utils.special import dirichlet_laplacian
+
+        mat = dirichlet_laplacian((16, 8))
+        prep = prepare_dist_spmv(mat, 4)
+        mesh = mesh_1d(4)
+        f = jax.jit(lambda p, v: p(v, mesh))
+        x = RNG.standard_normal(128)
+        y = np.asarray(f(prep, x)).reshape(-1)[:128]
+        np.testing.assert_allclose(
+            y, np.asarray(mat.to_dense()) @ x, rtol=1e-8
+        )
