@@ -59,46 +59,45 @@ def main():
             rng.random((n_win, w), np.float32)
         )
 
-        def g_vslice(carry, st=starts_un):
-            g = jax.vmap(lambda o: lax.dynamic_slice(pool, (o,), (w,)))(
-                st + (carry[0, 0] > 2).astype(jnp.int32)
-            )
-            return g
+        @jax.jit
+        def g_vslice(pool_a, st, y):
+            o = st + (y[0, 0] > 2).astype(jnp.int32)
+            return jax.vmap(lambda q: lax.dynamic_slice(pool_a, (q,), (w,)))(o)
 
-        def g_rows(carry, ids=rows_ids):
-            p2 = pool.reshape(P // w, w)
-            g = p2[ids + (carry[0, 0] > 2).astype(jnp.int32)]
-            return g
+        @jax.jit
+        def g_rows(pool_a, ids, y):
+            p2 = pool_a.reshape(P // w, w)
+            return p2[ids + (y[0, 0] > 2).astype(jnp.int32)]
 
-        def s_window(carry, st=starts_un):
+        @jax.jit
+        def s_window(pool_a, st, u, y):
             dn = lax.ScatterDimensionNumbers(
                 update_window_dims=(1,),
                 inserted_window_dims=(),
                 scatter_dims_to_operand_dims=(0,),
             )
             arr = lax.scatter_add(
-                pool,
+                pool_a,
                 st[:, None],
-                upd + carry[0, 0] * 0,
+                u + y[0, 0] * 0,
                 dn,
                 mode=lax.GatherScatterMode.CLIP,
             )
-            return arr.reshape(-1, w)[: n_win]
+            return arr.reshape(-1, w)[:n_win]
 
-        def s_rows(carry, ids=rows_ids):
-            p2 = pool.reshape(P // w, w)
-            arr = p2.at[ids].add(upd + carry[0, 0] * 0)
-            return arr[:n_win]
+        @jax.jit
+        def s_rows(pool_a, ids, u, y):
+            p2 = pool_a.reshape(P // w, w)
+            return p2.at[ids].add(u + y[0, 0] * 0)[:n_win]
 
-        for name, fn in (
-            ("gather_vslice", g_vslice),
-            ("gather_rows2d", g_rows),
-            ("scatter_window", s_window),
-            ("scatter_rows2d", s_rows),
-        ):
-            t = chain_time_best(
-                jax.jit(fn), upd, iters=args.iters, rounds=2
-            )
+        cases = (
+            ("gather_vslice", lambda y: g_vslice(pool, starts_un, y)),
+            ("gather_rows2d", lambda y: g_rows(pool, rows_ids, y)),
+            ("scatter_window", lambda y: s_window(pool, starts_un, upd, y)),
+            ("scatter_rows2d", lambda y: s_rows(pool, rows_ids, upd, y)),
+        )
+        for name, fn in cases:
+            t = chain_time_best(fn, upd, iters=args.iters, rounds=2)
             gbps = n_win * w * 4 / t / 1e9
             row = {
                 "prim": name,

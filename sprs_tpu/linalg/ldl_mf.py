@@ -295,7 +295,7 @@ def build_mf_plan(
     map_limit: int = 1 << 27,
     agg_limit: int = 1 << 28,
     align: str = "subtree",
-    agg_window: int = 32,
+    agg_window: int = 128,
 ) -> MfPlan:
     """Build the multifrontal-lite schedule from an ``LdlSymbolic``.
 
@@ -304,7 +304,12 @@ def build_mf_plan(
     ``build_super_plan``; ``align='subtree'`` cuts supernodes along
     complete etree subtrees (short batched critical path — see
     ``supernodes.amalgamate_subtree``); ``agg_window`` is the target
-    aggregate window width (rounded down to a divisor of W).
+    aggregate window width (rounded down to a divisor of W).  Default
+    128: the round-5 primitive sweep (results_r5/window_micro.json)
+    measured aligned row gathers/scatters at 24/17 GB/s for w=128 vs
+    3/1 GB/s at w=32 (sub-lane rows pay 4x padding + per-row
+    overhead), which buys far more than narrow windows save in
+    padding volume.
     """
     pre = _build_prelude(
         sym,

@@ -214,7 +214,7 @@ def spgemm_caps(a: CsMat, b: CsMat) -> tuple:
     >>> import sprs_tpu as st
     >>> a = st.from_dense(np.array([[1.0, 2.0], [0.0, 3.0]]))
     >>> st.spgemm_caps(a, a)
-    (3, 3)
+    (4, 3)
     """
     import numpy as np
 

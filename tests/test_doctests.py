@@ -16,6 +16,7 @@ MODULES = [
     "sprs_tpu.ops.kron",
     "sprs_tpu.ops.spgemm",
     "sprs_tpu.linalg.refine",
+    "sprs_tpu.ops.batch",
 ]
 
 
