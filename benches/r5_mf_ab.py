@@ -28,8 +28,8 @@ def main():
     ap.add_argument(
         "--variants",
         default="super,mf32,mf64,mf128",
-        help="comma list: super | mf<AW> | mf<AW>r<max_front_rows> | "
-        "mf<AW>c<max_front_cols>",
+        help="comma list: super | mf<AW>[r<max_front_rows>][c<max_front_"
+        "cols>][C][nc] — C = coarse buckets, nc = no cond guards",
     )
     ap.add_argument("--agg-limit", type=int, default=1 << 28)
     ap.add_argument("--map-limit", type=int, default=1 << 27)
@@ -94,19 +94,26 @@ def main():
 
     def build(tag):
         if tag == "super":
-            return build_super_plan(sym, **lims)
+            return build_super_plan(sym, **lims), None
         assert tag.startswith("mf")
         rest = tag[2:]
         kw = dict(lims, agg_limit=args.agg_limit)
+        use_cond = None
+        if rest.endswith("nc"):
+            rest = rest[:-2]
+            use_cond = False
+        if rest.endswith("C"):
+            rest = rest[:-1]
+            kw["buckets"] = "coarse"
         for sep, name in (("r", "max_front_rows"), ("c", "max_front_cols")):
             if sep in rest:
                 rest, _, v = rest.partition(sep)
                 kw[name] = int(v)
         kw["agg_window"] = int(rest)
-        return build_mf_plan(sym, **kw)
+        return build_mf_plan(sym, **kw), use_cond
 
-    def batched_step(pl, sc, d):
-        lx, dd = numeric_batched(pl, sc, d)
+    def batched_step(uc, pl, sc, d):
+        lx, dd = numeric_batched(pl, sc, d, use_cond=uc)
         return d + 0.0 * dd[0] * lx[0]
 
     host_l = None
@@ -114,7 +121,7 @@ def main():
         rec = {}
         t0 = time.perf_counter()
         try:
-            plan = build(tag)
+            plan, use_cond = build(tag)
         except Exception as e:
             out["variants"][tag] = {"error": str(e)}
             print(f"{tag}: plan failed: {e}", flush=True)
@@ -130,7 +137,9 @@ def main():
             rec["agg_MB"] = round(plan.agg_table_elems * 4 / 1e6, 1)
             rec["F"] = plan.F
             rec["ba"] = [int(s.shape[1]) for s in sched.agg_slots]
-        step = functools.partial(jax.jit(batched_step), plan, sched)
+        step = functools.partial(
+            jax.jit(batched_step, static_argnums=0), use_cond, plan, sched
+        )
         t = chain_time_best(step, data, iters=args.iters, rounds=args.rounds)
         rec["factor_s"] = t
         rec["ms_per_round"] = round(t * 1e3 / max(sched.R, 1), 3)

@@ -296,6 +296,7 @@ def build_mf_plan(
     agg_limit: int = 1 << 28,
     align: str = "subtree",
     agg_window: int = 128,
+    buckets: str = "fine",
 ) -> MfPlan:
     """Build the multifrontal-lite schedule from an ``LdlSymbolic``.
 
@@ -403,15 +404,32 @@ def build_mf_plan(
     tptr = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(nt_arr, out=tptr[1:])
 
-    # --- bucket fronts by padded row count (8/16/32, then 64-steps) ----
+    # --- bucket fronts by padded row count.  'fine' (8/16/32, then
+    # 64-steps) minimizes row padding; 'coarse' (4 pow-4 sizes) trades
+    # padding volume for FEWER per-round phases — each bucket is one
+    # phase in the level-batched numeric, and with the aligned row-op
+    # aggregate the phase FIXED cost rivals its traffic. -----------------
     emit = nr_arr > 0
-    bsz = np.where(
-        nr_arr <= 8,
-        8,
-        np.where(
-            nr_arr <= 16, 16, np.where(nr_arr <= 32, 32, -(-nr_arr // 64) * 64)
-        ),
-    ).astype(np.int64)
+    if buckets == "coarse":
+        bsz = np.where(
+            nr_arr <= 64,
+            64,
+            np.where(
+                nr_arr <= 512,
+                512,
+                np.where(nr_arr <= 2048, 2048, -(-nr_arr // 4096) * 4096),
+            ),
+        ).astype(np.int64)
+    else:
+        bsz = np.where(
+            nr_arr <= 8,
+            8,
+            np.where(
+                nr_arr <= 16,
+                16,
+                np.where(nr_arr <= 32, 32, -(-nr_arr // 64) * 64),
+            ),
+        ).astype(np.int64)
     bucket_sizes = sorted(set(int(b) for b in bsz[emit]))
     nb = len(bucket_sizes)
     fr_bucket = np.full(F, -1, dtype=np.int64)
