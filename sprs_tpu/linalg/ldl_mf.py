@@ -688,22 +688,22 @@ def make_agg_phase(plan, bi: int):
             lambda o: lax.dynamic_slice(dext, (o,), (AW,))
         )(md_t[sl].reshape(-1)).reshape(Ba, 1, NMb, AW)
         K = NMb * AW
-        U = jnp.einsum(
-            "bik,bjk->bij",
-            (B * Dv).reshape(Ba, RFb, K),
-            B.reshape(Ba, RFb, K),
-        )  # (Ba, RFb, RFb) on the MXU
-        U = jnp.where(live[:, None, None], U, 0)
+        BDf = (B * Dv).reshape(Ba, RFb, K)
+        Bf = B.reshape(Ba, RFb, K)
+        # The (RFb, RFb) Schur matrix U is never materialized: its
+        # columns are needed in scatter-WINDOW order, and a
+        # take_along_axis re-order is a per-element gather (the slow
+        # unit).  Instead gather B's rows into window order (aligned
+        # K-wide row gather) and let the MXU emit the window tensor
+        # directly: Uw[i, p] = sum_k BD[i, k] * B[cm[p], k].
         cm = cm_t[sl]  # (Ba, NTb, AW), sentinel RFb
         cmok = cm < RFb
-        Uw = jnp.take_along_axis(
-            U,
-            jnp.broadcast_to(
-                jnp.minimum(cm, RFb - 1).reshape(Ba, 1, NTb * AW),
-                (Ba, RFb, NTb * AW),
-            ),
-            axis=2,
-        ).reshape(Ba, RFb, NTb, AW)
+        cmc = jnp.minimum(cm, RFb - 1).reshape(Ba, NTb * AW)
+        Bw = jnp.take_along_axis(Bf, cmc[:, :, None], axis=1)
+        Uw = jnp.einsum("bik,bpk->bip", BDf, Bw).reshape(
+            Ba, RFb, NTb, AW
+        )
+        Uw = jnp.where(live[:, None, None, None], Uw, 0)
         lm = lm_t[sl]  # (Ba, RFb, NTb)
         upd = jnp.where(
             cmok[:, None, :, :] & (posAW < lm[..., None]), Uw, 0
