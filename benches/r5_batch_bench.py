@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--stages", default="spmv,spgemm,ldl")
+    ap.add_argument("--small", action="store_true", help="CI smoke sizes")
     args = ap.parse_args()
 
     import jax
@@ -57,8 +58,9 @@ def main():
 
     # ---------------- batched SpMV ----------------
     if "spmv" in stages:
-        N = 64
-        mat = dirichlet_laplacian((128, 128), dtype=np.float32)  # 16k rows
+        N = 8 if args.small else 64
+        side = 16 if args.small else 128
+        mat = dirichlet_laplacian((side, side), dtype=np.float32)
         n = mat.shape[0]
         rng = np.random.default_rng(0)
         base = np.asarray(mat.data)
@@ -116,11 +118,12 @@ def main():
 
     # ---------------- batched SpGEMM ----------------
     if "spgemm" in stages:
-        N = 16
+        N = 4 if args.small else 16
+        ns = 256 if args.small else 2048
         rng = np.random.default_rng(1)
         d = (
-            rng.standard_normal((2048, 2048))
-            * (rng.random((2048, 2048)) < 0.002)
+            rng.standard_normal((ns, ns))
+            * (rng.random((ns, ns)) < 0.01 if args.small else rng.random((ns, ns)) < 0.002)
         ).astype(np.float32)
         a = st.from_dense(d)
         prod, ocap = st.spgemm_caps(a, a)
@@ -159,7 +162,7 @@ def main():
         t_s = host_loop_time(scipy_loop)
         out["stages"]["spgemm"] = {
             "N": N,
-            "n": 2048,
+            "n": ns,
             "prod": int(prod),
             "batched_s": t_b,
             "scipy_loop_s": t_s,
@@ -173,8 +176,9 @@ def main():
         from sprs_tpu.linalg import Ldl
         from sprs_tpu.ops.batch import batched_ldl_factor
 
-        N = 16
-        mat = dirichlet_laplacian((64, 64), dtype=np.float32)  # 4k rows
+        N = 4 if args.small else 16
+        lside = 12 if args.small else 64
+        mat = dirichlet_laplacian((lside, lside), dtype=np.float32)
         sym = (
             Ldl().fill_in_reduction("nd").check_symmetry(False).symbolic(mat)
         )
