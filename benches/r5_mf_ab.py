@@ -32,6 +32,12 @@ def main():
         "cols>][C][nc] — C = coarse buckets, nc = no cond guards",
     )
     ap.add_argument("--agg-limit", type=int, default=1 << 28)
+    ap.add_argument(
+        "--no-host-check",
+        action="store_true",
+        help="skip the exact host-factor probe (1M-scale runs); a "
+        "finite-d check still runs",
+    )
     ap.add_argument("--map-limit", type=int, default=1 << 27)
     ap.add_argument("--panel-limit", type=int, default=1 << 28)
     args = ap.parse_args()
@@ -94,23 +100,32 @@ def main():
 
     def build(tag):
         if tag == "super":
-            return build_super_plan(sym, **lims), None
+            return build_super_plan(sym, **lims), None, {}
+        if tag.startswith("superL"):
+            v = int(tag[6:])
+            return build_super_plan(sym, **lims), None, dict(bu=v, bf=v)
         assert tag.startswith("mf")
         rest = tag[2:]
         kw = dict(lims, agg_limit=args.agg_limit)
         use_cond = None
+        sched_kw = {}
         if rest.endswith("nc"):
             rest = rest[:-2]
             use_cond = False
         if rest.endswith("C"):
             rest = rest[:-1]
             kw["buckets"] = "coarse"
-        for sep, name in (("r", "max_front_rows"), ("c", "max_front_cols")):
+        # parse suffixes right-to-left: L<lanes> then c<cols> then r<rows>
+        for sep, apply in (
+            ("L", lambda v: sched_kw.update(bu=v, bf=v)),
+            ("c", lambda v: kw.update(max_front_cols=v)),
+            ("r", lambda v: kw.update(max_front_rows=v)),
+        ):
             if sep in rest:
                 rest, _, v = rest.partition(sep)
-                kw[name] = int(v)
+                apply(int(v))
         kw["agg_window"] = int(rest)
-        return build_mf_plan(sym, **kw), use_cond
+        return build_mf_plan(sym, **kw), use_cond, sched_kw
 
     def batched_step(uc, pl, sc, d):
         lx, dd = numeric_batched(pl, sc, d, use_cond=uc)
@@ -121,13 +136,13 @@ def main():
         rec = {}
         t0 = time.perf_counter()
         try:
-            plan, use_cond = build(tag)
+            plan, use_cond, sched_kw = build(tag)
         except Exception as e:
             out["variants"][tag] = {"error": str(e)}
             print(f"{tag}: plan failed: {e}", flush=True)
             dump()
             continue
-        sched = build_round_schedule(plan)
+        sched = build_round_schedule(plan, **sched_kw)
         rec["t_plan_s"] = round(time.perf_counter() - t0, 2)
         rec["R"] = sched.R
         rec["tasks"] = plan.n_tasks
@@ -146,23 +161,29 @@ def main():
         rec["gflops"] = round(fl / t / 1e9, 2)
         # correctness probe: d against the host factor (exact path)
         lx, d = jax.jit(numeric_batched)(plan, sched, data)
-        if host_l is None:
-            num_h = sym.factor(mat, backend="host")
-            host_l = (
-                np.asarray(num_h.l_data, np.float64),
-                np.asarray(num_h.d, np.float64),
+        if args.no_host_check:
+            dh = np.asarray(d, np.float64)
+            rec["d_finite"] = bool(np.isfinite(dh).all())
+            rec["d_min"] = float(dh.min())
+            rec["ok"] = rec["d_finite"] and rec["d_min"] > 0
+        else:
+            if host_l is None:
+                num_h = sym.factor(mat, backend="host")
+                host_l = (
+                    np.asarray(num_h.l_data, np.float64),
+                    np.asarray(num_h.d, np.float64),
+                )
+            d_err = float(
+                np.abs(np.asarray(d, np.float64) - host_l[1]).max()
+                / np.abs(host_l[1]).max()
             )
-        d_err = float(
-            np.abs(np.asarray(d, np.float64) - host_l[1]).max()
-            / np.abs(host_l[1]).max()
-        )
-        l_err = float(
-            np.abs(np.asarray(lx, np.float64) - host_l[0]).max()
-            / (np.abs(host_l[0]).max() + 1.0)
-        )
-        rec["d_rel_err"] = d_err
-        rec["l_rel_err"] = l_err
-        rec["ok"] = bool(d_err < 1e-2 and l_err < 1e-2)
+            l_err = float(
+                np.abs(np.asarray(lx, np.float64) - host_l[0]).max()
+                / (np.abs(host_l[0]).max() + 1.0)
+            )
+            rec["d_rel_err"] = d_err
+            rec["l_rel_err"] = l_err
+            rec["ok"] = bool(d_err < 1e-2 and l_err < 1e-2)
         out["variants"][tag] = rec
         print(
             f"{tag}: {t*1e3:.1f} ms (R={sched.R}, "
