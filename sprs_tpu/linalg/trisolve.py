@@ -485,8 +485,15 @@ def build_flat_schedule(
 
 
 def _flat_solve_csr(
-    mat: CsMat, b: jax.Array, sched: FlatTriSchedule
+    mat: CsMat, b: jax.Array, sched: FlatTriSchedule, *, unroll: int = 8
 ) -> jax.Array:
+    """``unroll`` is the round-5 short-level-merge: the flat solve is
+    SCAN-STEP bound on TPU (~0.5 ms/step regardless of E — an E-sweep
+    proved levels floor the block count, BASELINE.md round 4), so
+    grouping ``unroll`` consecutive blocks into one ``lax.scan``
+    iteration divides the while-loop step count (and its fixed
+    dispatch/sync cost) without touching the schedule: block order is
+    preserved, so semantics are identical."""
     n = sched.n
     data = mat.data
 
@@ -513,7 +520,10 @@ def _flat_solve_csr(
     x0 = jnp.zeros_like(b)
     acc0 = jnp.zeros_like(b)
     (x, _), _ = jax.lax.scan(
-        step, (x0, acc0), (e_slot, e_col, e_row, f_row, f_dslot)
+        step,
+        (x0, acc0),
+        (e_slot, e_col, e_row, f_row, f_dslot),
+        unroll=max(int(unroll), 1),
     )
     return x
 
