@@ -32,6 +32,8 @@ def main():
         "cols>][C][nc] — C = coarse buckets, nc = no cond guards",
     )
     ap.add_argument("--agg-limit", type=int, default=1 << 28)
+    ap.add_argument("--rel-zeros", type=float, default=0.65)
+    ap.add_argument("--max-width", type=int, default=128)
     ap.add_argument(
         "--no-host-check",
         action="store_true",
@@ -96,6 +98,8 @@ def main():
     lims = dict(
         panel_limit=args.panel_limit,
         map_limit=args.map_limit,
+        rel_zeros=args.rel_zeros,
+        max_width=args.max_width,
     )
 
     def build(tag):
