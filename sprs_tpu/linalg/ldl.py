@@ -592,20 +592,27 @@ class LdlNumeric:
             if is_concrete(a.data):
                 backend = "host"
             else:
-                # traced/device data: prefer the LEVEL-BATCHED supernodal
-                # numeric when a plan is feasible (0.32 s vs 0.72 s
-                # sequential-supernodal vs 3.2 s round-2 at 65k rows on
-                # TPU); the sequential row scan is the fallback for tiny
-                # or pathological structures.
+                # traced/device data: prefer the LEVEL-BATCHED
+                # MULTIFRONTAL numeric when a plan is feasible — with
+                # the round-5 aligned window aggregates it beats the
+                # per-pair supernodal schedule at every measured scale
+                # (65k: 1.20x, 262k: 1.27x, 1M: 1.47x, same-process
+                # A/Bs in benches/results_r5/) — then the supernodal
+                # plan, then the sequential row scan for tiny or
+                # pathological structures.
                 backend = "device"
                 if sym.n >= 256:
                     from .ldl_super import SupernodalPlanError
 
                     try:
-                        sym.super_plan()
-                        backend = "super-batched"
+                        sym.mf_plan()
+                        backend = "mf-batched"
                     except SupernodalPlanError:
-                        pass
+                        try:
+                            sym.super_plan()
+                            backend = "super-batched"
+                        except SupernodalPlanError:
+                            pass
         if backend == "host":
             lx, d = _numeric_host(sym, np.asarray(a.data, dtype=np.float64))
             # exact f64 compute (golden parity), but STORE in the input
