@@ -485,15 +485,15 @@ def build_flat_schedule(
 
 
 def _flat_solve_csr(
-    mat: CsMat, b: jax.Array, sched: FlatTriSchedule, *, unroll: int = 8
+    mat: CsMat, b: jax.Array, sched: FlatTriSchedule, *, unroll: int = 4
 ) -> jax.Array:
-    """``unroll`` is the round-5 short-level-merge: the flat solve is
-    SCAN-STEP bound on TPU (~0.5 ms/step regardless of E — an E-sweep
-    proved levels floor the block count, BASELINE.md round 4), so
-    grouping ``unroll`` consecutive blocks into one ``lax.scan``
-    iteration divides the while-loop step count (and its fixed
-    dispatch/sync cost) without touching the schedule: block order is
-    preserved, so semantics are identical."""
+    """``unroll`` groups consecutive blocks into one ``lax.scan``
+    iteration (the round-5 short-level-merge experiment).  Measured
+    verdict (results_r5/flat_unroll.json, 65k nd, same process):
+    4 is mildly best (0.73 s vs 0.80 s at 1; 32 regresses) — the
+    ~0.55 ms/block floor is NOT while-loop iteration overhead, so the
+    level-bound fallback stays ~12x behind the panel solve by design.
+    Semantics are identical for any value (block order preserved)."""
     n = sched.n
     data = mat.data
 
