@@ -511,32 +511,29 @@ def numeric_batched(
 
     # ---- batched pair update -------------------------------------------
     def _upd_phase(Lp, dext, src, dst, tix):
-        Pd = _slice_panels(Lp, off_e[src])  # (Bu, MR, W)
+        # Panel offsets are W-aligned, so the rmap-selected descendant
+        # rows gather DIRECTLY from the (len/W, W) 2-D row view —
+        # round 4 materialized the full (Bu, MR, W) panel and re-read
+        # it through two take_along_axis passes (~1.5x the traffic and
+        # a per-element reorder); the aligned row gather is the fast
+        # primitive (results_r5/window_micro.json).  Sentinel rows
+        # (rmap == MR) land on the next panel's first rows — real data,
+        # masked to exact zero below, as the clamped take_along was.
+        Lp2 = Lp.reshape(-1, W)
+        base = off_e[src] // W  # (Bu,)
         Dd = jax.vmap(lambda c: lax.dynamic_slice(dext, (c,), (W,)))(
             c0_e[src]
         )
         Dd = jnp.where(colsW[None, :] < w_e[src][:, None], Dd, 0)
         rmap = t_rmap[tix]  # (Bu, MR), sentinel row index = MR
-        # clamped gather + mask instead of a zero-row concatenate: the
-        # (Bu, MR+1, W) pad copy was pure HBM traffic (~Bu·MR·W·4 B per
-        # round); masked lanes read row MR-1 and are zeroed exactly
-        # where the pad row was read before
         B = jnp.where(
-            (rmap < MR)[:, :, None],
-            jnp.take_along_axis(
-                Pd, jnp.minimum(rmap, MR - 1)[:, :, None], axis=1
-            ),
-            0,
+            (rmap < MR)[:, :, None], Lp2[base[:, None] + rmap], 0
         )
         colmap = jnp.where(
             colsW[None, :] < w_e[dst][:, None], rmap[:, :W], MR
         )
         G = jnp.where(
-            (colmap < MR)[:, :, None],
-            jnp.take_along_axis(
-                Pd, jnp.minimum(colmap, MR - 1)[:, :, None], axis=1
-            ),
-            0,
+            (colmap < MR)[:, :, None], Lp2[base[:, None] + colmap], 0
         )
         G = G * Dd[:, None, :]  # (Bu, W, W)
         U = jnp.einsum("bik,bjk->bij", B, G)  # (Bu, MR, W)
