@@ -51,3 +51,9 @@ def test_mixed_precision_refinement(capsys):
     out = capsys.readouterr().out
     assert "backward error per refinement step" in out
     assert "f64-class backward error" in out  # asserts < 1e-12 internally
+
+
+def test_batched_small_systems(capsys):
+    run_example("examples/batched_small_systems.py", [])
+    out = capsys.readouterr().out
+    assert "OK" in out
