@@ -144,19 +144,27 @@ class RoundSchedule:
     Registered as a pytree for the same reason the plans are: the
     per-round index arrays must ride through jit boundaries as device
     buffers, not HLO constants.
+
+    Update and factor lanes are split into ROW CLASSES (round 5): the
+    per-lane panel shape used to be the GLOBAL (MR, W) — at 1M rows
+    MR=1800 while the median panel is a few hundred rows, so padding
+    dominated the per-round gather/scatter volume.  Each class c
+    processes its tasks at a (MR_c, W) shape (pow2-ladder sizes, exact
+    by the same sentinel-row argument as the global shape: rows beyond
+    the target's live rows carry exact-zero updates).
     """
 
     R: int  # rounds
-    Bu: int  # update lanes per round
-    Bf: int  # factor lanes per round
-    # updates: supernode ids (sentinel S) + row index into plan.t_rmap
-    upd_src: np.ndarray  # (R, Bu)
-    upd_dst: np.ndarray  # (R, Bu)
-    upd_tix: np.ndarray  # (R, Bu) row of plan.t_rmap (sentinel row = all-MR)
-    upd_cnt: np.ndarray  # (R,)
-    # factors: supernode ids (sentinel S)
-    fac_s: np.ndarray  # (R, Bf)
-    fac_cnt: np.ndarray  # (R,)
+    upd_mr: tuple  # per class: padded row count MR_c
+    fac_mr: tuple
+    # updates per class: supernode ids (sentinel S) + row into t_rmap
+    upd_src: tuple  # per class (R, Bu_c)
+    upd_dst: tuple
+    upd_tix: tuple  # (sentinel row = all-MR)
+    upd_cnt: tuple  # per class (R,)
+    # factors per class: supernode ids (sentinel S)
+    fac_s: tuple  # per class (R, Bf_c)
+    fac_cnt: tuple
     # aggregates (MfPlan only): per bucket, slot ids (sentinel -1)
     agg_slots: tuple  # per bucket (R, Ba_b)
     agg_cnt: tuple  # per bucket (R,)
@@ -164,6 +172,14 @@ class RoundSchedule:
     @property
     def n_rounds(self) -> int:
         return self.R
+
+    @property
+    def Bu(self) -> int:  # diagnostic: total update lanes per round
+        return sum(int(a.shape[1]) for a in self.upd_src)
+
+    @property
+    def Bf(self) -> int:
+        return sum(int(a.shape[1]) for a in self.fac_s)
 
     def tree_flatten(self):
         leaves = (
@@ -176,12 +192,12 @@ class RoundSchedule:
             self.agg_slots,
             self.agg_cnt,
         )
-        return leaves, (self.R, self.Bu, self.Bf)
+        return leaves, (self.R, self.upd_mr, self.fac_mr)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        R, Bu, Bf = aux
-        return cls(R, Bu, Bf, *leaves)
+        R, upd_mr, fac_mr = aux
+        return cls(R, upd_mr, fac_mr, *leaves)
 
 
 class _Packer:
@@ -267,6 +283,7 @@ def build_round_schedule(
     bf: int = None,
     ba=None,
     agg_lane_budget: int = 256 << 20,
+    max_classes: int = 4,
 ) -> RoundSchedule:
     """Pack a plan's task stream into batched rounds (host-side).
 
@@ -329,18 +346,50 @@ def build_round_schedule(
         )
         ba_list.append(int(np.clip(agg_lane_budget // max(lane_bytes, 1), 1, 16)))
 
+    # ---- row classes: pow2 ladder of padded panel heights -------------
+    # per-lane shapes used to be the GLOBAL (MR, W); classes cut the
+    # dominant padding volume (1M: MR=1800, median panel a few hundred
+    # rows).  An update's gathered/scattered rows are indexed by TARGET
+    # panel slots, so its class is rows[dst]; a factor's is rows[s].
+    rows_arr = np.asarray(plan.rows, dtype=np.int64)
+    W = plan.W
+    MR = plan.MR
+    sizes = []
+    s_ = W
+    while s_ < MR:
+        sizes.append(s_)
+        s_ *= 2
+    sizes.append(MR)
+    sizes = np.asarray(sorted(set(sizes)), dtype=np.int64)
+    if max_classes is not None and sizes.shape[0] > max_classes:
+        # merge the cheapest class upward until the count fits: removing
+        # size s pads its tasks to the next size — pick min added volume
+        while sizes.shape[0] > max_classes:
+            counts = np.bincount(
+                np.searchsorted(sizes, rows_arr), minlength=sizes.shape[0]
+            )
+            added = counts[:-1] * np.diff(sizes)
+            drop = int(np.argmin(added))
+            sizes = np.delete(sizes, drop)
+    cls_of_sn = np.searchsorted(sizes, rows_arr)  # class per supernode
+    nc = sizes.shape[0]
+
     fac_round = np.full(S, -1, dtype=np.int64)
     last_write = np.zeros(S, dtype=np.int64)
-    pk_u = _Packer(bu)
-    pk_f = _Packer(bf)
+    pk_u = [_Packer(bu) for _ in range(nc)]
+    pk_f = [_Packer(bf) for _ in range(nc)]
     pk_a = [_Packer(ba_list[bi]) for bi in range(nb)]
 
     # the all-MR sentinel rmap row: any factor task's row (never filled)
     fac_rows = np.nonzero(t_type == 1)[0]
     sent_tix = int(fac_rows[0]) if fac_rows.size else 0
 
-    u_r, u_src, u_dst, u_tix = [], [], [], []
-    f_r, f_s = [], []
+    u_r = [[] for _ in range(nc)]
+    u_src = [[] for _ in range(nc)]
+    u_dst = [[] for _ in range(nc)]
+    u_tix = [[] for _ in range(nc)]
+    f_r = [[] for _ in range(nc)]
+    f_s = [[] for _ in range(nc)]
     a_r = [[] for _ in range(nb)]
     a_slot = [[] for _ in range(nb)]
 
@@ -349,19 +398,21 @@ def build_round_schedule(
         if tt == 0:
             src = int(t_src[i])
             dst = int(t_dst[i])
-            r = pk_u.place(int(fac_round[src]) + 1)
+            c = int(cls_of_sn[dst])
+            r = pk_u[c].place(int(fac_round[src]) + 1)
             if r > last_write[dst]:
                 last_write[dst] = r
-            u_r.append(r)
-            u_src.append(src)
-            u_dst.append(dst)
-            u_tix.append(i)
+            u_r[c].append(r)
+            u_src[c].append(src)
+            u_dst[c].append(dst)
+            u_tix[c].append(i)
         elif tt == 1:
             s = int(t_src[i])
-            r = pk_f.place(int(last_write[s]))
+            c = int(cls_of_sn[s])
+            r = pk_f[c].place(int(last_write[s]))
             fac_round[s] = r
-            f_r.append(r)
-            f_s.append(s)
+            f_r[c].append(r)
+            f_s[c].append(s)
         else:
             bi = int(t_src[i])
             slot = int(t_dst[i])
@@ -377,59 +428,56 @@ def build_round_schedule(
             a_slot[bi].append(slot)
 
     R = 1 + max(
-        [max(u_r) if u_r else 0, max(f_r) if f_r else 0]
+        [max(rr) for rr in u_r if rr]
+        + [max(rr) for rr in f_r if rr]
         + [max(rr) for rr in a_r if rr]
+        + [0]
     )
 
-    # updates
-    upd_src = np.full((R, bu), S, dtype=np.int64)
-    upd_dst = np.full((R, bu), S, dtype=np.int64)
-    upd_tix = np.full((R, bu), sent_tix, dtype=np.int64)
-    upd_cnt = np.zeros(R, dtype=np.int32)
-    for r, s, d, ti in zip(u_r, u_src, u_dst, u_tix):
-        k = upd_cnt[r]
-        upd_src[r, k] = s
-        upd_dst[r, k] = d
-        upd_tix[r, k] = ti
-        upd_cnt[r] = k + 1
-    # factors
-    fac_s = np.full((R, bf), S, dtype=np.int64)
-    fac_cnt = np.zeros(R, dtype=np.int32)
-    for r, s in zip(f_r, f_s):
-        k = fac_cnt[r]
-        fac_s[r, k] = s
-        fac_cnt[r] = k + 1
-    # aggregates
-    agg_slots = []
-    agg_cnt = []
+    def pack(rounds, cols, width, fill):
+        """(R, width) lane table + (R,) counts from (round, value) lists."""
+        out = [
+            np.full((R, width), f, dtype=np.int64) for f in fill
+        ]
+        cnt = np.zeros(R, dtype=np.int32)
+        for j, r in enumerate(rounds):
+            k = cnt[r]
+            for o, colv in zip(out, cols):
+                o[r, k] = colv[j]
+            cnt[r] = k + 1
+        w_eff = max(int(cnt.max()), 1)
+        return [o[:, :w_eff].astype(np.int32) for o in out], cnt
+
+    upd_src, upd_dst, upd_tix, upd_cnt = [], [], [], []
+    for c in range(nc):
+        (a1, a2, a3), cn = pack(
+            u_r[c], (u_src[c], u_dst[c], u_tix[c]), bu, (S, S, sent_tix)
+        )
+        upd_src.append(a1)
+        upd_dst.append(a2)
+        upd_tix.append(a3)
+        upd_cnt.append(cn)
+    fac_s, fac_cnt = [], []
+    for c in range(nc):
+        (a1,), cn = pack(f_r[c], (f_s[c],), bf, (S,))
+        fac_s.append(a1)
+        fac_cnt.append(cn)
+    agg_slots, agg_cnt = [], []
     for bi in range(nb):
-        sl = np.full((R, ba_list[bi]), -1, dtype=np.int64)
-        cn = np.zeros(R, dtype=np.int32)
-        for r, s in zip(a_r[bi], a_slot[bi]):
-            k = cn[r]
-            sl[r, k] = s
-            cn[r] = k + 1
-        agg_slots.append(sl.astype(np.int32))
+        (a1,), cn = pack(a_r[bi], (a_slot[bi],), ba_list[bi], (-1,))
+        agg_slots.append(a1)
         agg_cnt.append(cn)
 
-    # trim lane widths to the max actually used: padding lanes cost
-    # real gather/matmul/scatter work every round
-    bu_eff = max(int(upd_cnt.max()) if R else 1, 1)
-    bf_eff = max(int(fac_cnt.max()) if R else 1, 1)
-    agg_slots = [
-        sl[:, : max(int(cn.max()), 1)]
-        for sl, cn in zip(agg_slots, agg_cnt)
-    ]
     return RoundSchedule(
         R=R,
-        Bu=bu_eff,
-        Bf=bf_eff,
-        upd_src=upd_src[:, :bu_eff].astype(np.int32),
-        upd_dst=upd_dst[:, :bu_eff].astype(np.int32),
-        upd_tix=upd_tix[:, :bu_eff].astype(np.int32),
-        upd_cnt=upd_cnt,
-        fac_s=fac_s[:, :bf_eff].astype(np.int32),
-        fac_cnt=fac_cnt,
+        upd_mr=tuple(int(s) for s in sizes),
+        fac_mr=tuple(int(s) for s in sizes),
+        upd_src=tuple(upd_src),
+        upd_dst=tuple(upd_dst),
+        upd_tix=tuple(upd_tix),
+        upd_cnt=tuple(upd_cnt),
+        fac_s=tuple(fac_s),
+        fac_cnt=tuple(fac_cnt),
         agg_slots=tuple(agg_slots),
         agg_cnt=tuple(agg_cnt),
     )
@@ -499,48 +547,48 @@ def numeric_batched(
     dext0 = jnp.zeros((n + W,), dtype)
 
     colsW = jnp.arange(W, dtype=INDEX_DTYPE)
-    rowsMR = jnp.arange(MR, dtype=INDEX_DTYPE)
-    PB = MR - W
 
-    def _slice_panels(Lp, offs):
-        """(B,) window starts -> (B, MR, W) panels (one gather of
-        contiguous MR*W windows)."""
-        return jax.vmap(
-            lambda o: lax.dynamic_slice(Lp, (o,), (MRW,))
-        )(offs).reshape(-1, MR, W)
+    # ---- batched pair update (one instance per row class) --------------
+    def _make_upd_phase(mr_c):
+        def _upd_phase(Lp, dext, src, dst, tix):
+            # Panel offsets are W-aligned, so the rmap-selected
+            # descendant rows gather DIRECTLY from the (len/W, W) 2-D
+            # row view — round 4 materialized the full (Bu, MR, W)
+            # panel and re-read it through two take_along_axis passes
+            # (~1.5x the traffic and a per-element reorder); the
+            # aligned row gather is the fast primitive
+            # (results_r5/window_micro.json).  Sentinel rows
+            # (rmap == MR) land on the next panel's first rows — real
+            # data, masked to exact zero below.  The class height mr_c
+            # covers the TARGET's live rows (class = rows[dst]); U rows
+            # beyond them are exact zeros, so the mr_c*W scatter window
+            # is complete and overhang-safe like the global one.
+            Lp2 = Lp.reshape(-1, W)
+            base = off_e[src] // W  # (Bu_c,)
+            Dd = jax.vmap(
+                lambda c: lax.dynamic_slice(dext, (c,), (W,))
+            )(c0_e[src])
+            Dd = jnp.where(colsW[None, :] < w_e[src][:, None], Dd, 0)
+            rmap = t_rmap[tix][:, :mr_c]  # sentinel row index = MR
+            B = jnp.where(
+                (rmap < MR)[:, :, None], Lp2[base[:, None] + rmap], 0
+            )
+            colmap = jnp.where(
+                colsW[None, :] < w_e[dst][:, None], rmap[:, :W], MR
+            )
+            G = jnp.where(
+                (colmap < MR)[:, :, None], Lp2[base[:, None] + colmap], 0
+            )
+            G = G * Dd[:, None, :]  # (Bu_c, W, W)
+            U = jnp.einsum("bik,bjk->bij", B, G)  # (Bu_c, mr_c, W)
+            return (
+                _window_scatter_add(
+                    Lp, off_e[dst], -U.reshape(-1, mr_c * W)
+                ),
+                dext,
+            )
 
-    # ---- batched pair update -------------------------------------------
-    def _upd_phase(Lp, dext, src, dst, tix):
-        # Panel offsets are W-aligned, so the rmap-selected descendant
-        # rows gather DIRECTLY from the (len/W, W) 2-D row view —
-        # round 4 materialized the full (Bu, MR, W) panel and re-read
-        # it through two take_along_axis passes (~1.5x the traffic and
-        # a per-element reorder); the aligned row gather is the fast
-        # primitive (results_r5/window_micro.json).  Sentinel rows
-        # (rmap == MR) land on the next panel's first rows — real data,
-        # masked to exact zero below, as the clamped take_along was.
-        Lp2 = Lp.reshape(-1, W)
-        base = off_e[src] // W  # (Bu,)
-        Dd = jax.vmap(lambda c: lax.dynamic_slice(dext, (c,), (W,)))(
-            c0_e[src]
-        )
-        Dd = jnp.where(colsW[None, :] < w_e[src][:, None], Dd, 0)
-        rmap = t_rmap[tix]  # (Bu, MR), sentinel row index = MR
-        B = jnp.where(
-            (rmap < MR)[:, :, None], Lp2[base[:, None] + rmap], 0
-        )
-        colmap = jnp.where(
-            colsW[None, :] < w_e[dst][:, None], rmap[:, :W], MR
-        )
-        G = jnp.where(
-            (colmap < MR)[:, :, None], Lp2[base[:, None] + colmap], 0
-        )
-        G = G * Dd[:, None, :]  # (Bu, W, W)
-        U = jnp.einsum("bik,bjk->bij", B, G)  # (Bu, MR, W)
-        return (
-            _window_scatter_add(Lp, off_e[dst], -U.reshape(-1, MRW)),
-            dext,
-        )
+        return _upd_phase
 
     # ---- batched front aggregate (per bucket): window-granular B
     # gather + MXU Schur + window scatter (ldl_mf.make_agg_phase); the
@@ -550,89 +598,118 @@ def numeric_batched(
 
     agg_phases = [make_agg_phase(plan, bi) for bi in range(nb)]
 
-    def _fac_phase(Lp, dext, s):
-        panel = _slice_panels(Lp, off_e[s])  # (Bf, MR, W)
-        ws = w_e[s]  # (Bf,)
-        rs = rows_e[s]
-        live_col = colsW[None, :] < ws[:, None]  # (Bf, W)
-        top = jnp.where(live_col[:, None, :], panel[:, :W, :], 0)
-        diag = jnp.einsum("bii->bi", top)
-        top = top.at[:, colsW, colsW].set(jnp.where(live_col, diag, 1))
-        top, dvec = blocked_ldl_top(top, live_col)
-        if PB:
-            bottom = panel[:, W:, :]
-            xt = lax.linalg.triangular_solve(
-                top,
-                bottom,
-                left_side=False,
-                lower=True,
-                transpose_a=True,
-                unit_diagonal=True,
+    def _make_fac_phase(mr_c):
+        rowsc = jnp.arange(mr_c, dtype=INDEX_DTYPE)
+        pb_c = mr_c - W
+
+        def _fac_phase(Lp, dext, s):
+            panel = jax.vmap(
+                lambda o: lax.dynamic_slice(Lp, (o,), (mr_c * W,))
+            )(off_e[s]).reshape(-1, mr_c, W)
+            ws = w_e[s]  # (Bf_c,)
+            rs = rows_e[s]
+            live_col = colsW[None, :] < ws[:, None]  # (Bf_c, W)
+            top = jnp.where(live_col[:, None, :], panel[:, :W, :], 0)
+            diag = jnp.einsum("bii->bi", top)
+            top = top.at[:, colsW, colsW].set(
+                jnp.where(live_col, diag, 1)
             )
-            bottom = xt / dvec[:, None, :]
-            full = jnp.concatenate([top, bottom], axis=1)
-        else:
-            full = top
-        vals = jnp.where(
-            rowsMR[None, :, None] < rs[:, None, None],
-            jnp.where(live_col[:, None, :], full, 0),
-            panel,
-        )
-        delta = vals - panel  # exactly 0 on overhang rows/masked cols
-        Lp = _window_scatter_add(Lp, off_e[s], delta.reshape(-1, MRW))
-        dcontrib = jnp.where(live_col, dvec, 0)
-        dext = _window_scatter_add(dext, c0_e[s], dcontrib)
-        return Lp, dext
+            top, dvec = blocked_ldl_top(top, live_col)
+            if pb_c:
+                bottom = panel[:, W:, :]
+                xt = lax.linalg.triangular_solve(
+                    top,
+                    bottom,
+                    left_side=False,
+                    lower=True,
+                    transpose_a=True,
+                    unit_diagonal=True,
+                )
+                bottom = xt / dvec[:, None, :]
+                full = jnp.concatenate([top, bottom], axis=1)
+            else:
+                full = top
+            vals = jnp.where(
+                rowsc[None, :, None] < rs[:, None, None],
+                jnp.where(live_col[:, None, :], full, 0),
+                panel,
+            )
+            delta = vals - panel  # exactly 0 on overhang/masked cols
+            Lp = _window_scatter_add(
+                Lp, off_e[s], delta.reshape(-1, mr_c * W)
+            )
+            dcontrib = jnp.where(live_col, dvec, 0)
+            dext = _window_scatter_add(dext, c0_e[s], dcontrib)
+            return Lp, dext
+
+        return _fac_phase
+
+    upd_phases = [_make_upd_phase(m) for m in sched.upd_mr]
+    fac_phases = [_make_fac_phase(m) for m in sched.fac_mr]
+    ncls = len(sched.upd_mr)
 
     def body(carry, xs):
         Lp, dext = carry
-        (u_src, u_dst, u_tix, u_cnt, f_s, f_cnt), aggs = xs
+        ups, aggs, facs = xs
 
-        if use_cond:
-            Lp, dext = lax.cond(
-                u_cnt > 0,
-                lambda L, de: _upd_phase(L, de, u_src, u_dst, u_tix),
-                lambda L, de: (L, de),
-                Lp,
-                dext,
-            )
-            for bi in range(nb):
-                slots, cnt = aggs[bi]
-                Lp, dext = lax.cond(
-                    cnt > 0,
-                    lambda L, de, sl=slots, b=bi: agg_phases[b](L, de, sl),
-                    lambda L, de, sl=slots, b=bi: (L, de),
-                    Lp,
-                    dext,
+        def guarded(cnt, fn, Lp, dext):
+            if use_cond:
+                return lax.cond(
+                    cnt > 0, fn, lambda L, de: (L, de), Lp, dext
                 )
-            Lp, dext = lax.cond(
-                f_cnt > 0,
-                lambda L, de: _fac_phase(L, de, f_s),
-                lambda L, de: (L, de),
+            return fn(Lp, dext)
+
+        for c in range(ncls):
+            u_src, u_dst, u_tix, u_cnt = ups[c]
+            Lp, dext = guarded(
+                u_cnt,
+                lambda L, de, a=u_src, b=u_dst, t=u_tix, cc=c: upd_phases[
+                    cc
+                ](L, de, a, b, t),
                 Lp,
                 dext,
             )
-        else:
-            Lp, dext = _upd_phase(Lp, dext, u_src, u_dst, u_tix)
-            for bi in range(nb):
-                slots, _cnt = aggs[bi]
-                Lp, dext = agg_phases[bi](Lp, dext, slots)
-            Lp, dext = _fac_phase(Lp, dext, f_s)
+        for bi in range(nb):
+            slots, cnt = aggs[bi]
+            Lp, dext = guarded(
+                cnt,
+                lambda L, de, sl=slots, b=bi: agg_phases[b](L, de, sl),
+                Lp,
+                dext,
+            )
+        for c in range(ncls):
+            f_s, f_cnt = facs[c]
+            Lp, dext = guarded(
+                f_cnt,
+                lambda L, de, a=f_s, cc=c: fac_phases[cc](L, de, a),
+                Lp,
+                dext,
+            )
         return (Lp, dext), None
 
-    xs_main = (
-        jnp.asarray(sched.upd_src, INDEX_DTYPE),
-        jnp.asarray(sched.upd_dst, INDEX_DTYPE),
-        jnp.asarray(sched.upd_tix, INDEX_DTYPE),
-        jnp.asarray(sched.upd_cnt),
-        jnp.asarray(sched.fac_s, INDEX_DTYPE),
-        jnp.asarray(sched.fac_cnt),
+    xs_upd = tuple(
+        (
+            jnp.asarray(sched.upd_src[c], INDEX_DTYPE),
+            jnp.asarray(sched.upd_dst[c], INDEX_DTYPE),
+            jnp.asarray(sched.upd_tix[c], INDEX_DTYPE),
+            jnp.asarray(sched.upd_cnt[c]),
+        )
+        for c in range(ncls)
+    )
+    xs_fac = tuple(
+        (
+            jnp.asarray(sched.fac_s[c], INDEX_DTYPE),
+            jnp.asarray(sched.fac_cnt[c]),
+        )
+        for c in range(ncls)
     )
     xs_agg = tuple(
         (jnp.asarray(sched.agg_slots[bi], INDEX_DTYPE),
          jnp.asarray(sched.agg_cnt[bi]))
         for bi in range(nb)
     )
-    (Lp, dext), _ = lax.scan(body, (Lp0, dext0), (xs_main, xs_agg))
+    (Lp, dext), _ = lax.scan(
+        body, (Lp0, dext0), (xs_upd, xs_agg, xs_fac)
+    )
     lx = Lp[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
     return lx, dext[:n]
