@@ -151,3 +151,39 @@ class TestBatchedAtScale:
         r = np.asarray(st.spmv(mat, x), np.float64) - b
         rbe = np.abs(r).max() / (8.0 * np.abs(x).max() + np.abs(b).max())
         assert rbe < 1e-12, rbe
+
+
+class TestRowClasses:
+    """Round-5 row-class lanes: per-class (MR_c, W) shapes must be
+    exact for any class count, and max_classes=1 must degenerate to
+    the old single global-MR schedule."""
+
+    @pytest.mark.parametrize("max_classes", [1, 2, 4, 8])
+    def test_class_count_sweep(self, max_classes):
+        from sprs_tpu.linalg.ldl_batched import (
+            build_round_schedule,
+            numeric_batched,
+        )
+
+        mat = dirichlet_laplacian((11, 13))
+        sym, host, plan = _host_and_plan(mat, "camd", "super")
+        sched = build_round_schedule(plan, max_classes=max_classes)
+        assert len(sched.upd_mr) <= max_classes
+        if max_classes == 1:
+            assert sched.upd_mr == (plan.MR,)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
+
+    def test_mf_with_classes(self):
+        from sprs_tpu.linalg.ldl_batched import (
+            build_round_schedule,
+            numeric_batched,
+        )
+
+        mat = dirichlet_laplacian((10, 14))
+        sym, host, plan = _host_and_plan(
+            mat, "camd", "mf", max_front_cols=24
+        )
+        sched = build_round_schedule(plan, max_classes=3)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        _assert_close(host, lx, d)
