@@ -723,15 +723,19 @@ class LdlNumeric:
         which reaches hundreds of GB of HLO on fill-heavy factors.
         ``'levels'`` escapes to 'flat' automatically past the same
         n·max_row_nnz > 2²⁴ cliff trisolve's auto dispatch uses.
-        ``'auto'`` (default) picks 'super' when a supernodal plan is
-        already cached on the symbolic (i.e. the factorization itself
-        ran on panels), 'levels' otherwise."""
+        ``'auto'`` (default) picks 'super' when a panel plan (mf or
+        supernodal) is already cached on the symbolic (i.e. the
+        factorization itself ran on panels), 'levels' otherwise.  The
+        panel solve itself is ROUND-BATCHED whenever the factor's round
+        schedule is cached (the batched backends cache it): R scan
+        steps instead of S (``ldl_batched.solve_batched``)."""
         b = jnp.asarray(b)
         s = self.symbolic
         if method == "auto":
             method = (
                 "super"
                 if s.__dict__.get("_super_plan") is not None
+                or s.__dict__.get("_mf_plan") is not None
                 else "levels"
             )
         if b.shape[0] != s.n:
@@ -750,16 +754,42 @@ class LdlNumeric:
         if method == "super":
             from .ldl_super import panels_from_csc, solve_supernodal
 
-            plan = s.super_plan()
-            panels = self.__dict__.get("_panels")
-            if panels is None or panels.dtype != self.l_data.dtype:
+            # prefer whichever panel plan the factorization built (the
+            # two plan kinds share the solve-facing geometry surface)
+            plan = s.__dict__.get("_mf_plan") or s.__dict__.get(
+                "_super_plan"
+            )
+            if plan is None:
+                from .ldl_super import SupernodalPlanError
+
+                try:
+                    plan = s.mf_plan()
+                except SupernodalPlanError:
+                    plan = s.super_plan()
+            cached = self.__dict__.get("_panels")
+            panels = None
+            if (
+                cached is not None
+                and cached[0] == id(plan)
+                and cached[1].dtype == self.l_data.dtype
+            ):
+                panels = cached[1]
+            if panels is None:
                 panels = panels_from_csc(plan, self.l_data)
                 # never cache a tracer (a jitted solve would leak it
                 # into later calls); concrete panels amortize across
                 # solves
                 if is_concrete(panels):
-                    object.__setattr__(self, "_panels", panels)
-            x = solve_supernodal(plan, panels, self.d, x)
+                    object.__setattr__(
+                        self, "_panels", (id(plan), panels)
+                    )
+            sched = (s.__dict__.get("_round_scheds") or {}).get(id(plan))
+            if sched is not None:
+                from .ldl_batched import solve_batched
+
+                x = solve_batched(plan, sched, panels, self.d, x)
+            else:
+                x = solve_supernodal(plan, panels, self.d, x)
         elif method in ("levels", "flat"):
             if method == "levels":
                 w = max(

@@ -713,3 +713,163 @@ def numeric_batched(
     )
     lx = Lp[jnp.asarray(plan.csc_gather, dtype=INDEX_DTYPE)]
     return lx, dext[:n]
+
+
+def solve_batched(
+    plan, sched: RoundSchedule, panels: jax.Array, d: jax.Array, b: jax.Array
+) -> jax.Array:
+    """x = (L D Lᵀ)⁻¹ b with the sweeps ROUND-BATCHED (jittable).
+
+    ``solve_supernodal`` scans one supernode per step — S=15182 steps
+    at 1M rows (~1.4 s, pure step-latency).  The factor's round
+    schedule is also a legal level schedule for the solve: a solve
+    dependency d→s (a below row of d lands in s's columns) is exactly
+    a factor-schedule edge, and every such edge has
+    ``fac_round[d] < fac_round[s]`` (pair updates are placed after
+    factor(d) and before factor(s); cross-front couplings ride an
+    aggregate round between the two).  So the forward sweep runs the
+    factor rounds' lanes batched per row class, and the backward sweep
+    runs them in reverse; same-round lanes touch disjoint column
+    ranges and their below couplings scatter-ADD (commutative), with
+    column writes as live-masked deltas so window overhang is a no-op.
+
+    Reference capability: the sequential up-looking solve,
+    /root/reference/sprs-ldl/src/lib.rs:388-410, level-batched.
+    """
+    n, S, W, MR = plan.n, plan.S, plan.W, plan.MR
+    dtype = panels.dtype
+    colsW = jnp.arange(W, dtype=INDEX_DTYPE)
+    eyeW = jnp.eye(W, dtype=dtype)
+
+    off_e = jnp.concatenate(
+        [jnp.asarray(plan.off, INDEX_DTYPE), jnp.asarray([plan.P], INDEX_DTYPE)]
+    )
+    c0_e = jnp.concatenate(
+        [jnp.asarray(plan.c0, INDEX_DTYPE), jnp.asarray([n], INDEX_DTYPE)]
+    )
+    w_e = jnp.concatenate(
+        [jnp.asarray(plan.w, INDEX_DTYPE), jnp.asarray([0], INDEX_DTYPE)]
+    )
+    rows_se = jnp.concatenate(
+        [jnp.asarray(plan.rows, INDEX_DTYPE), jnp.asarray([0], INDEX_DTYPE)]
+    )
+    bptr_e = jnp.concatenate(
+        [
+            jnp.asarray(plan.below_ptr[:-1], INDEX_DTYPE),
+            jnp.asarray(plan.below_ptr[-1:], INDEX_DTYPE),
+            jnp.asarray(plan.below_ptr[-1:], INDEX_DTYPE),
+        ]
+    )
+    bflat = jnp.asarray(plan.below_flat, INDEX_DTYPE)  # padded with n's
+
+    # panels padded with a zero tail so sentinel lanes (s = S, off = P)
+    # and mr_c windows read exact zeros
+    pz = jnp.concatenate([panels, jnp.zeros((MR * W,), dtype)])
+
+    def load(s, mr_c):
+        panel = jax.vmap(
+            lambda o: lax.dynamic_slice(pz, (o,), (mr_c * W,))
+        )(off_e[s]).reshape(-1, mr_c, W)
+        ws = w_e[s]
+        live_col = colsW[None, :] < ws[:, None]
+        # the mr_c*W window crosses into SUBSEQUENT panels (allocations
+        # are rows_s*W each): rows at/after the supernode's own rows
+        # hold the next panels' values and must be masked to exact 0 —
+        # they feed the below coupling otherwise (the sequential
+        # solve's live_row mask, ldl_super.solve_supernodal.load)
+        rowsc = jnp.arange(mr_c, dtype=INDEX_DTYPE)
+        panel = jnp.where(
+            (rowsc[None, :, None] < rows_se[s][:, None, None])
+            & live_col[:, None, :],
+            panel,
+            0,
+        )
+        blk = jnp.where(
+            live_col[:, None, :] & (colsW[None, :, None] < ws[:, None, None]),
+            panel[:, :W, :],
+            eyeW[None],
+        )
+        ids = jax.vmap(
+            lambda p: lax.dynamic_slice(bflat, (p,), (mr_c,))
+        )(bptr_e[s])
+        return panel, blk, ids, ws, live_col
+
+    def make_fwd(mr_c):
+        def fwd(y, s):
+            panel, blk, ids, ws, live_col = load(s, mr_c)
+            yd = jax.vmap(lambda c: lax.dynamic_slice(y, (c,), (W,)))(
+                c0_e[s]
+            )
+            sol = lax.linalg.triangular_solve(
+                blk, yd[:, :, None], left_side=True, lower=True,
+                unit_diagonal=True,
+            )[:, :, 0]
+            delta = jnp.where(live_col, sol - yd, 0)
+            y = _window_scatter_add(y, c0_e[s], delta)
+            u = jnp.einsum(
+                "brw,bw->br", panel, jnp.where(live_col, sol, 0)
+            )
+            # below slot k holds the value for panel slot ws + k
+            u_shift = jax.vmap(
+                lambda uv, w: lax.dynamic_slice(
+                    jnp.concatenate([uv, jnp.zeros((W,), dtype)]), (w,),
+                    (mr_c,),
+                )
+            )(u, ws)
+            y = y.at[ids.reshape(-1)].add(
+                -u_shift.reshape(-1), mode="drop"
+            )
+            return y
+
+        return fwd
+
+    def make_bwd(mr_c):
+        def bwd(x, s):
+            panel, blk, ids, ws, live_col = load(s, mr_c)
+            xg = jnp.where(ids < n, x[jnp.minimum(ids, n - 1)], 0)
+            # shift below values into panel slots ws.. then contract
+            x_ext = jax.vmap(
+                lambda xv, w: lax.dynamic_slice(
+                    jnp.concatenate([jnp.zeros((W,), dtype), xv]),
+                    (W - w,),
+                    (mr_c,),
+                )
+            )(xg, ws)
+            contrib = jnp.einsum("br,brw->bw", x_ext, panel)
+            xd = jax.vmap(lambda c: lax.dynamic_slice(x, (c,), (W,)))(
+                c0_e[s]
+            )
+            sol = lax.linalg.triangular_solve(
+                blk, (xd - contrib)[:, :, None], left_side=True,
+                lower=True, transpose_a=True, unit_diagonal=True,
+            )[:, :, 0]
+            delta = jnp.where(live_col, sol - xd, 0)
+            return _window_scatter_add(x, c0_e[s], delta)
+
+        return bwd
+
+    ncls = len(sched.fac_mr)
+    fwd_fns = [make_fwd(m) for m in sched.fac_mr]
+    bwd_fns = [make_bwd(m) for m in sched.fac_mr]
+    xs_fac = tuple(
+        jnp.asarray(sched.fac_s[c], INDEX_DTYPE) for c in range(ncls)
+    )
+
+    b = jnp.asarray(b).astype(dtype)
+    y0 = jnp.concatenate([b, jnp.zeros((W,), dtype)])
+
+    def fwd_body(y, lanes):
+        for c in range(ncls):
+            y = fwd_fns[c](y, lanes[c])
+        return y, None
+
+    y, _ = lax.scan(fwd_body, y0, xs_fac)
+    y = y.at[:n].set(y[:n] / d)
+
+    def bwd_body(x, lanes):
+        for c in range(ncls):
+            x = bwd_fns[c](x, lanes[c])
+        return x, None
+
+    x, _ = lax.scan(bwd_body, y, xs_fac, reverse=True)
+    return x[:n]

@@ -187,3 +187,43 @@ class TestRowClasses:
         sched = build_round_schedule(plan, max_classes=3)
         lx, d = numeric_batched(plan, sched, mat.to_csr().data)
         _assert_close(host, lx, d)
+
+
+class TestSolveBatched:
+    """Round-batched panel solve: the factor rounds are a legal solve
+    level schedule (every solve edge is a factor-schedule edge)."""
+
+    @pytest.mark.parametrize("kind", ["super", "mf"])
+    def test_matches_sequential_solve(self, kind):
+        from sprs_tpu.linalg.ldl_batched import (
+            build_round_schedule,
+            numeric_batched,
+            solve_batched,
+        )
+        from sprs_tpu.linalg.ldl_super import (
+            panels_from_csc,
+            solve_supernodal,
+        )
+
+        mat = dirichlet_laplacian((13, 9))
+        sym, host, plan = _host_and_plan(
+            mat, "camd", kind, **({"max_front_cols": 24} if kind == "mf" else {})
+        )
+        sched = build_round_schedule(plan)
+        lx, d = numeric_batched(plan, sched, mat.to_csr().data)
+        panels = panels_from_csc(plan, lx)
+        rng = np.random.default_rng(3)
+        b = rng.standard_normal(sym.n)
+        x_seq = np.asarray(solve_supernodal(plan, panels, d, b))
+        x_bat = np.asarray(solve_batched(plan, sched, panels, d, b))
+        np.testing.assert_allclose(x_bat, x_seq, rtol=1e-9, atol=1e-11)
+        # and against the dense oracle
+        dense = np.asarray(mat.to_dense())
+        bb = b
+        if sym.perm is not None:
+            dense = dense[np.asarray(sym.perm.perm)][
+                :, np.asarray(sym.perm.perm)
+            ]
+        np.testing.assert_allclose(
+            dense @ x_bat, bb, rtol=1e-7, atol=1e-8
+        )
