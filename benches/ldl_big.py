@@ -193,6 +193,36 @@ def main():
     print(f"panel solve: {best*1e3:.2f} ms", flush=True)
     dump()
 
+    # round-batched panel solve (round 5): the factor rounds double as
+    # the solve level schedule — R scan steps instead of S
+    from sprs_tpu.linalg.ldl_batched import solve_batched
+
+    @jax.jit
+    def run_solve_b(pl, sc, pn, dv, v):
+        return solve_batched(pl, sc, pn, dv, v / (1.0 + jnp.abs(v[0])))
+
+    yb = run_solve_b(plan, sched, panels, d, b0)
+    out["solve_batched_max_diff"] = float(
+        jnp.abs(yb - y).max()
+    )
+    _ = float(np.asarray(yb)[0])
+    best_b = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = b0
+        for _ in range(max(args.iters, 3)):
+            v = run_solve_b(plan, sched, panels, d, v)
+        _ = float(np.asarray(v)[0])
+        best_b = min(best_b, (time.perf_counter() - t0) / max(args.iters, 3))
+    out["solve_batched_s"] = best_b
+    print(
+        f"batched solve: {best_b*1e3:.2f} ms "
+        f"(x{best/best_b:.2f} vs sequential; "
+        f"diff {out['solve_batched_max_diff']:.2e})",
+        flush=True,
+    )
+    dump()
+
     from sprs_tpu.linalg.ldl import LdlNumeric
     from sprs_tpu.linalg.trisolve import _flat_solve_csr
 
