@@ -56,3 +56,22 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# XLA-CPU segfault guard (round 5): one full-suite run accumulates
+# hundreds of compiled executables in the CPU client and the NEXT
+# compilation can segfault inside _cached_compilation (reproduced
+# twice at tests/test_ldl_super.py::test_random_sparse_spd with a
+# fresh persistent cache; any subset of the suite passes).  Dropping
+# the in-memory tracing/executable caches between MODULES keeps the
+# client small; the persistent on-disk cache keeps recompiles cheap.
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
