@@ -10,19 +10,26 @@ This module batches the SAME tasks into *rounds* of provably
 independent work and runs one scan step per round:
 
 * **Rounds** come from longest-path scheduling on the task DAG.  Each
-  round has three phases, applied in order: pair updates, front
-  aggregates, panel factors.  A pair update d→t needs factor(d) in a
-  STRICTLY earlier round; a factor of s needs every write into s in
-  the same round or earlier (phase order makes same-round legal); a
-  front aggregate needs its member factors strictly earlier and must
-  not be later than any target's factor round.  Width caps (``bu``,
-  ``bf``, ``ba``) split over-wide levels across consecutive rounds —
-  always legal because updates commute and factors only need *all*
-  their inputs, not a particular round.
-* **Batched kernels**: the per-task panel slices become one gather of
-  B contiguous (MR·W) windows; the Schur products become one batched
-  (B, MR, W) × (B, W, W) MXU matmul; the factor's W-step inner loop
-  runs once per ROUND on (B, W, W) tiles instead of once per task.
+  round has three phase families, applied in order: pair updates,
+  front aggregates, panel factors.  A pair update d→t needs factor(d)
+  in a STRICTLY earlier round; a factor of s needs every write into s
+  in the same round or earlier (phase order makes same-round legal);
+  a front aggregate needs its member factors strictly earlier and
+  must not be later than any target's factor round.  Width caps
+  (``bu``, ``bf``, ``ba``) split over-wide levels across consecutive
+  rounds — always legal because updates commute and factors only need
+  *all* their inputs, not a particular round.
+* **Batched kernels**: per-task panel access becomes aligned row
+  gathers on the (len/W, W) 2-D panel view plus contiguous window
+  gathers; the Schur products become batched (B, MR_c, W) × (B, W, W)
+  MXU matmuls; the factor's W-step inner loop runs once per ROUND on
+  (B, W, W) tiles instead of once per task.  Update/factor lanes are
+  split into pow2-ladder ROW CLASSES (round 5) so padding pays per
+  class, not at the global MR.
+* **Round-batched solves** (round 5): the factor rounds double as a
+  legal level schedule for the triangular sweeps —
+  :func:`solve_batched` runs both solve directions in R scan steps
+  instead of S.
 * **Commutative writes**: every panel write is a *delta* accumulated
   by ``lax.scatter_add`` over contiguous windows
   (``update_window_dims``), so same-round writes into one panel are
