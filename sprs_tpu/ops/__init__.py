@@ -122,6 +122,13 @@ def matmul(lhs, rhs, **kw):
     compaction-free dense route and RETURN BSR — chained products
     (e.g. ``(a @ b) @ c`` after ``spgemm(..., out_format='auto')``)
     never pay the per-element CSR scatter.
+
+    BSR @ dense dispatches the pure-XLA kernel (safe for any block
+    layout); on TPU, ``ops.pallas.bsr_spmm_pallas`` is the measured
+    1.1-1.3x fast path for matrices holding the conversion invariants
+    (every block row populated, blocks row-sorted — true for all
+    ``bsr_from_*``/``spgemm_dense_bsr`` outputs, not guaranteed after
+    ``slice_block_rows``).
     """
     from ..formats.bsr import BsrMat, bsr_spmm_xla
 
