@@ -184,7 +184,9 @@ class BatchedLdl:
 
     def solve(self, l_data: jax.Array, d: jax.Array, b: jax.Array):
         """Per-member panel solve; ``b`` is ``(N, n)`` or ``(n,)``."""
-        return batched_ldl_solve(self.plan, l_data, d, jnp.asarray(b))
+        return batched_ldl_solve(
+            self.plan, l_data, d, jnp.asarray(b), sched=self.sched
+        )
 
 
 def batched_ldl_factor(plan, sched, data: jax.Array):
@@ -196,12 +198,30 @@ def batched_ldl_factor(plan, sched, data: jax.Array):
     return jax.vmap(lambda dd: numeric_batched(plan, sched, dd))(data)
 
 
-def batched_ldl_solve(plan, l_data: jax.Array, d: jax.Array, b: jax.Array):
-    """vmapped panel solve on batched factor values."""
+def batched_ldl_solve(
+    plan, l_data: jax.Array, d: jax.Array, b: jax.Array, *, sched=None
+):
+    """vmapped panel solve on batched factor values.
+
+    With ``sched`` (the factor's round schedule) each member runs the
+    ROUND-batched sweeps (R scan steps instead of S,
+    :func:`~sprs_tpu.linalg.ldl_batched.solve_batched`)."""
     from ..linalg.ldl_super import panels_from_csc, solve_supernodal
 
-    def one(lx, dv, bv):
-        return solve_supernodal(plan, panels_from_csc(plan, lx), dv, bv)
+    if sched is not None:
+        from ..linalg.ldl_batched import solve_batched
+
+        def one(lx, dv, bv):
+            return solve_batched(
+                plan, sched, panels_from_csc(plan, lx), dv, bv
+            )
+
+    else:
+
+        def one(lx, dv, bv):
+            return solve_supernodal(
+                plan, panels_from_csc(plan, lx), dv, bv
+            )
 
     db = 0 if b.ndim == 2 else None
     return jax.vmap(one, in_axes=(0, 0, db))(l_data, d, b)
