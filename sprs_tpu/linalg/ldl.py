@@ -726,9 +726,12 @@ class LdlNumeric:
         ``'auto'`` (default) picks 'super' when a panel plan (mf or
         supernodal) is already cached on the symbolic (i.e. the
         factorization itself ran on panels), 'levels' otherwise.  The
-        panel solve itself is ROUND-BATCHED whenever the factor's round
-        schedule is cached (the batched backends cache it): R scan
-        steps instead of S (``ldl_batched.solve_batched``)."""
+        panel solve itself is ROUND-BATCHED when the factor's round
+        schedule is cached (the batched backends cache it) AND the
+        plan is large enough to amortize the per-round gather floor
+        (``S >= ldl_batched.SOLVE_BATCHED_MIN_S``; measured: batched
+        x0.29 at 65k/S=968 but x1.04 at 1M/S=15182 — R scan steps only
+        beat S steps at scale)."""
         b = jnp.asarray(b)
         s = self.symbolic
         if method == "auto":
@@ -784,7 +787,9 @@ class LdlNumeric:
                         self, "_panels", (id(plan), panels)
                     )
             sched = (s.__dict__.get("_round_scheds") or {}).get(id(plan))
-            if sched is not None:
+            from .ldl_batched import SOLVE_BATCHED_MIN_S
+
+            if sched is not None and plan.S >= SOLVE_BATCHED_MIN_S:
                 from .ldl_batched import solve_batched
 
                 x = solve_batched(plan, sched, panels, self.d, x)

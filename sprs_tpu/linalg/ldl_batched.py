@@ -722,6 +722,16 @@ def numeric_batched(
     return lx, dext[:n]
 
 
+# Measured crossover for the round-batched solve (v5e tunnel,
+# same-process A/B, results_r5/ldl{256,1024}_mf_solveb.json):
+#   65k nd  (S=968,  R=23):  batched 229 ms vs sequential 66.8 ms (x0.29)
+#   1M  nd  (S=15182,R=241): batched 1.34 s vs sequential 1.39 s (x1.04)
+# Per-round cost is the same gather-traffic floor as the factor phases
+# (~5-10 ms), so R rounds only beat S sequential steps (~70-90 us each)
+# when S is large.  Auto-routing uses batched sweeps only past this S.
+SOLVE_BATCHED_MIN_S = 8192
+
+
 def solve_batched(
     plan, sched: RoundSchedule, panels: jax.Array, d: jax.Array, b: jax.Array
 ) -> jax.Array:

@@ -205,10 +205,14 @@ def batched_ldl_solve(
 
     With ``sched`` (the factor's round schedule) each member runs the
     ROUND-batched sweeps (R scan steps instead of S,
-    :func:`~sprs_tpu.linalg.ldl_batched.solve_batched`)."""
+    :func:`~sprs_tpu.linalg.ldl_batched.solve_batched`) — but only
+    when the plan is big enough to amortize the per-round gather
+    floor (``plan.S >= SOLVE_BATCHED_MIN_S``; the measured crossover,
+    see ldl_batched.py)."""
+    from ..linalg.ldl_batched import SOLVE_BATCHED_MIN_S
     from ..linalg.ldl_super import panels_from_csc, solve_supernodal
 
-    if sched is not None:
+    if sched is not None and plan.S >= SOLVE_BATCHED_MIN_S:
         from ..linalg.ldl_batched import solve_batched
 
         def one(lx, dv, bv):
