@@ -227,3 +227,33 @@ class TestSolveBatched:
         np.testing.assert_allclose(
             dense @ x_bat, bb, rtol=1e-7, atol=1e-8
         )
+
+    def test_solve_gate_routes_on_plan_size(self, monkeypatch):
+        """LdlNumeric.solve uses the round-batched sweeps only past
+        SOLVE_BATCHED_MIN_S (measured crossover: x0.29 at S=968 vs
+        x1.04 at S=15182, results_r5/ldl*_mf_solveb.json); both
+        branches must agree with the dense oracle."""
+        from sprs_tpu.linalg import ldl_batched as lb
+
+        mat = dirichlet_laplacian((13, 9))
+        builder = Ldl().fill_in_reduction("camd").check_symmetry(False)
+        sym = builder.symbolic(mat)
+        num = sym.factor(mat, backend="mf-batched")
+        plan = sym.__dict__.get("_mf_plan")
+        assert plan is not None
+        assert (sym.__dict__.get("_round_scheds") or {}).get(
+            id(plan)
+        ) is not None
+        rng = np.random.default_rng(7)
+        b = rng.standard_normal(sym.n).astype(np.float32)
+        dense = np.asarray(mat.to_dense(), np.float64)
+        x_ref = np.linalg.solve(dense, b.astype(np.float64))
+
+        assert plan.S < lb.SOLVE_BATCHED_MIN_S  # small plan: sequential
+        x_seq = np.asarray(num.solve(b))
+        np.testing.assert_allclose(x_seq, x_ref, rtol=5e-4, atol=5e-4)
+
+        monkeypatch.setattr(lb, "SOLVE_BATCHED_MIN_S", 1)  # force batched
+        x_bat = np.asarray(num.solve(b))
+        np.testing.assert_allclose(x_bat, x_ref, rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(x_bat, x_seq, rtol=1e-5, atol=1e-5)
